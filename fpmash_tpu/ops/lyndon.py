@@ -1,0 +1,136 @@
+"""Batched Duval (CFL) factorization on device.
+
+The reference computes one Duval factorization per shift window, serially,
+inside a fork pool (lyn2vec factorizations.py:102, driven by lyn2vec.py:40).
+Here the whole batch of windows ``[B, L]`` runs as ONE ``lax.scan`` whose
+state advances every row's Duval state machine a step per iteration —
+sequential in at most ``4L`` steps, data-parallel over B lanes on the VPU.
+
+Duval's algorithm is restated as a 2-phase per-row automaton:
+
+* phase SCAN: extend the candidate prefix — compare ``s[k]`` vs ``s[j]``;
+  on ``<`` reset ``k=i``, on ``==`` advance ``k``, both advance ``j``;
+  exit to EMIT when ``j == n`` or ``s[k] > s[j]``.
+* phase EMIT: the period is ``p = j - k``; emit one factor length ``p`` and
+  advance ``i += p`` while ``i <= k``; then reset ``j = i+1, k = i`` and
+  return to SCAN (or finish when ``i >= n``).
+
+Step bound: SCAN steps total ≤ 2n (classic Duval analysis), EMIT steps ≤ n
+factors, phase transitions ≤ n, so ``4L`` iterations always suffice.
+
+Output is the factor-length list per row, which is exactly the fingerprint
+(and what the sketch hashes), so factor *strings* never need to leave the
+device on the hot path.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@partial(jax.jit, static_argnames=())
+def cfl_lengths(batch: jax.Array, lengths: jax.Array):
+    """Duval factor lengths for each row of ``batch[B, L]`` (uint8).
+
+    ``lengths[b]`` is the valid prefix length of row ``b``.  Returns
+    ``(fac_len[B, L] int32, fac_count[B] int32)`` where row ``b``'s factor
+    lengths are ``fac_len[b, :fac_count[b]]`` (zero beyond).
+    """
+    batch = batch.astype(jnp.uint8)
+    n = lengths.astype(jnp.int32)
+    B, L = batch.shape
+    steps = 4 * L + 2
+
+    def gather(col):
+        # per-row element batch[b, col[b]], clamped for safety
+        c = jnp.clip(col, 0, L - 1)
+        return jnp.take_along_axis(batch, c[:, None], axis=1)[:, 0]
+
+    def step(state, _):
+        i, j, k, emitting, out_idx, out = state
+
+        s_k = gather(k)
+        s_j = gather(j)
+
+        done = i >= n
+
+        # ---- SCAN transition (valid when not emitting, not done) ----
+        can_extend = (j < n) & (s_k <= s_j)
+        k_scan = jnp.where(s_k < s_j, i, k + 1)
+        # when can't extend, switch to EMIT with i,j,k unchanged
+
+        # ---- EMIT transition (valid when emitting) ----
+        p = j - k
+        emit_now = i <= k  # emit one factor of length p
+        out_scan_idx = jnp.where(emit_now & emitting & ~done, out_idx, L)
+        out = out.at[jnp.arange(B), jnp.clip(out_scan_idx, 0, L)].set(
+            jnp.where(out_scan_idx < L, p, 0), mode="drop"
+        )
+
+        i_emit = jnp.where(emit_now, i + p, i)
+        # after last repetition, reset scan pointers
+        reset = ~emit_now
+        j_emit = jnp.where(reset, i + 1, j)
+        k_emit = jnp.where(reset, i, k)
+        emitting_next_e = jnp.where(reset, False, True)
+
+        # ---- select per phase ----
+        scanning = ~emitting & ~done
+        i_next = jnp.where(scanning, i, jnp.where(done, i, i_emit))
+        j_next = jnp.where(scanning, jnp.where(can_extend, j + 1, j), jnp.where(done, j, j_emit))
+        k_next = jnp.where(scanning, jnp.where(can_extend, k_scan, k), jnp.where(done, k, k_emit))
+        emitting_next = jnp.where(
+            scanning, ~can_extend, jnp.where(done, emitting, emitting_next_e)
+        )
+        out_idx_next = jnp.where(emitting & emit_now & ~done, out_idx + 1, out_idx)
+
+        return (i_next, j_next, k_next, emitting_next, out_idx_next, out), None
+
+    zeros = jnp.zeros((B,), jnp.int32)
+    init = (
+        zeros,  # i
+        zeros + 1,  # j
+        zeros,  # k
+        jnp.zeros((B,), bool),  # emitting: start in SCAN
+        zeros,  # out_idx
+        jnp.zeros((B, L + 1), jnp.int32),  # out (slot L = spill for drops)
+    )
+    (i, _, _, _, out_idx, out), _ = jax.lax.scan(step, init, None, length=steps)
+    return out[:, :L], out_idx
+
+
+def encode_batch(windows, dtype=np.uint8):
+    """Host helper: list of strings -> (u8[B, L] zero-padded, lengths[B])."""
+    B = len(windows)
+    L = max((len(w) for w in windows), default=1)
+    arr = np.zeros((B, max(L, 1)), dtype=dtype)
+    lens = np.zeros((B,), dtype=np.int32)
+    for r, w in enumerate(windows):
+        b = w.encode("ascii") if isinstance(w, str) else bytes(w)
+        arr[r, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+        lens[r] = len(b)
+    return arr, lens
+
+
+def cfl_lengths_host(windows) -> list[list[int]]:
+    """Factor-length lists for a batch of strings via the device kernel."""
+    arr, lens = encode_batch(windows)
+    fac_len, fac_count = jax.device_get(cfl_lengths(jnp.asarray(arr), jnp.asarray(lens)))
+    return [list(map(int, fac_len[b, : fac_count[b]])) for b in range(len(windows))]
+
+
+def cfl_factor_strings(windows) -> list[list[str]]:
+    """Factor strings (sliced on host from the device-computed lengths)."""
+    out = []
+    for w, lens in zip(windows, cfl_lengths_host(windows)):
+        factors = []
+        pos = 0
+        for n in lens:
+            factors.append(w[pos : pos + n])
+            pos += n
+        out.append(factors)
+    return out

@@ -1,0 +1,79 @@
+"""Fingerprint pipeline parity against the vendored lyn2vec goldens.
+
+Fixture history (verified empirically): the goldens in
+tests/golden/lyn2vec_basic were generated from successive versions of
+``example_transcripts_genes.fa`` — the CFL / CFL_ICFL-10 files cover the 11
+ENSG transcripts, the *_COMB files only the first 10, and the later-added
+"CIUCCIODIBOSCO" records postdate all of them.  DNA3 fixtures were generated
+with ``rev_com=true`` (forward ``_0`` lines only — see
+:func:`fpmash_tpu.models.fingerprint.extract_reads`).
+"""
+
+import pytest
+
+from fpmash_tpu.models.fingerprint import (
+    chunk_split,
+    extract_reads,
+    fingerprint_reads,
+    shift_windows,
+)
+
+
+@pytest.fixture(scope="module")
+def ensg_reads(golden_dir):
+    reads = extract_reads(
+        str(golden_dir / "lyn2vec_basic" / "example_transcripts_genes.fa"),
+        rev_com=False,
+    )
+    return [r for r in reads if r[0].startswith("ENSG")]
+
+
+def test_shift_windows():
+    assert shift_windows("ACGT", 100) == ["ACGT"]
+    w = shift_windows("A" * 150, 100)
+    assert len(w) == 150 and all(len(x) == 100 for x in w)
+    # cyclic wrap: window starting at 140 wraps 90 chars from the front
+    s = "".join(chr(65 + i % 26) for i in range(120))
+    w = shift_windows(s, 100)
+    assert w[30] == s[30:120] + s[:10]
+
+
+def test_chunk_split():
+    assert chunk_split("A" * 299, 300) == ["A" * 299]
+    parts = chunk_split("A" * 650, 300)
+    assert [len(p) for p in parts] == [300, 300, 50]
+
+
+@pytest.mark.parametrize(
+    "fact,fname,n_reads",
+    [
+        ("CFL", "fingerprint_CFL.txt", 11),  # full file
+        ("CFL_ICFL-10", "fingerprint_CFL_ICFL-10.txt", 3),  # prefix (speed)
+        ("ICFL_COMB", "fingerprint_ICFL_COMB.txt", 3),
+        ("CFL_ICFL_COMB-20", "fingerprint_CFL_ICFL_COMB-20.txt", 3),
+    ],
+)
+def test_basic_pipeline_matches_goldens(golden_dir, ensg_reads, fact, fname, n_reads):
+    fp, fac = fingerprint_reads(
+        ensg_reads[:n_reads], fact, backend="scalar", with_factors=True
+    )
+    golden = open(golden_dir / "lyn2vec_basic" / fname).readlines()
+    assert fp == golden[: len(fp)] and len(fp) > 0
+    golden_fac = open(golden_dir / "lyn2vec_basic" / ("fact_" + fname)).readlines()
+    assert [l.rstrip("\n") for l in fac] == [
+        l.rstrip("\n") for l in golden_fac[: len(fac)]
+    ]
+
+
+def test_dna3_cfl_matches_golden(golden_dir):
+    reads = extract_reads(str(golden_dir / "cfl" / "DNA3.fasta"), rev_com=True)
+    fp, _ = fingerprint_reads(reads, "CFL", backend="scalar")
+    golden = open(golden_dir / "cfl" / "DNA3-CFL.txt").readlines()
+    assert fp == golden
+
+
+def test_jax_backend_matches_scalar(golden_dir):
+    reads = extract_reads(str(golden_dir / "cfl" / "DNA3.fasta"), rev_com=True)[:1]
+    fp_s, _ = fingerprint_reads(reads, "CFL", backend="scalar")
+    fp_j, _ = fingerprint_reads(reads, "CFL", backend="jax")
+    assert fp_s == fp_j
