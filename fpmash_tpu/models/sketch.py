@@ -1,0 +1,529 @@
+"""Sketch engine: the central MinHash container and its construction paths.
+
+TPU-native rebuild of ``mash/src/mash/Sketch.{h,cpp}``.  The reference's OO
+container (vector<Reference> + robin_hood indexes + pthread pool) becomes a
+thin host-side list of references whose hash arrays are produced by batched
+device kernels:
+
+* fingerprint path (``init from fingerprints``, Sketch.cpp:56-151): every
+  fingerprint line = one MurmurHash3 of its uint64 length-vector, kept in
+  file order, unsorted, no bottom-k — all lines of all files are hashed in
+  ONE device batch (ops.murmur3.murmur3_u64_batch).
+* classic path (``sketchSequence``/``sketchFile``, Sketch.cpp:1299-1526):
+  k-mer scan + canonicalization + hash (ops.kmers) + bottom-k distinct
+  selection (ops.bottomk), per reference or concatenated per input set.
+
+Persistence is byte-compatible ``.msh`` via utils.msh; parameter
+compatibility checks and the 32/64-bit hash rule follow the reference.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field, replace
+
+import numpy as np
+
+#: global fingerprint line cap across all files (Sketch.cpp:37,82)
+LIMIT_READ_FINGERPRINT = 1_000_000
+
+
+@dataclass
+class SketchParams:
+    """Sketch::Parameters (Sketch.h:81-120) with the same defaults
+    (Command.cpp:183-228): k=21, s=1000, seed=42, canonical DNA."""
+
+    kmer_size: int = 21
+    sketch_size: int = 1000  # minHashesPerWindow
+    seed: int = 42
+    noncanonical: bool = False
+    preserve_case: bool = False
+    alphabet: str = "ACGT"
+    concatenated: bool = True
+    error: float = 0.0
+    window_size: int = 0
+    reads: bool = False
+    min_cov: int = 1
+    target_cov: float = 0.0
+    counts: bool = False
+    fingerprint: bool = False
+
+    @property
+    def use64(self) -> bool:
+        """64-bit hashes iff alphabet^k exceeds 2^32 (Sketch.cpp:1288)."""
+        return len(self.alphabet) ** self.kmer_size > 2**32
+
+    @property
+    def kmer_space(self) -> float:
+        """alphabetSize^kmerSize (Sketch.cpp:660)."""
+        return float(len(self.alphabet)) ** self.kmer_size
+
+    def for_fingerprint(self) -> "SketchParams":
+        """Fingerprint-mode overrides (sketchParameterSetup.cpp:78-84):
+        k=1, noncanonical, alphabet '0123456789' (=> 32-bit hashes)."""
+        return replace(
+            self, kmer_size=1, noncanonical=True, alphabet="0123456789", fingerprint=True
+        )
+
+
+@dataclass
+class Reference:
+    """One sketched reference (Sketch.h:177-186)."""
+
+    name: str = ""
+    comment: str = ""
+    length: int = 0
+    hashes: np.ndarray = field(default_factory=lambda: np.zeros(0, np.uint64))
+    counts: np.ndarray | None = None
+    counts_sorted: bool = False
+
+
+class Sketch:
+    """Container of sketched references + parameters."""
+
+    def __init__(self, params: SketchParams | None = None):
+        self.params = params or SketchParams()
+        self.references: list[Reference] = []
+        self._index_by_id: dict[str, int] = {}
+
+    # ------------------------------------------------------------------ #
+    # fingerprint path
+    # ------------------------------------------------------------------ #
+
+    def init_from_fingerprints(
+        self, files: list[str], bug_compat_length: bool = True, backend: str = "auto"
+    ) -> None:
+        """Load fingerprint ``.txt`` files (Sketch.cpp:56-151).
+
+        Line format ``ID n1 n2 ...``; consecutive lines with equal ID are
+        grouped into one reference (Sketch.cpp:103-129 — non-adjacent
+        duplicate IDs create separate references); each line becomes one
+        hash of its uint64 vector, appended in file order (unsorted, no
+        bottom-k).  A global cap of 1e6 lines applies across all files.
+
+        ``bug_compat_length=True`` reproduces the reference's length
+        accounting where the first line of each reference is counted twice
+        (length is initialized to the first line's size and then
+        incremented for every line including the first, Sketch.cpp:117,134).
+        """
+        p = self.params
+        line_budget = LIMIT_READ_FINGERPRINT
+
+        groups: list[tuple[str, list[list[int]]]] = []
+        last_id = None  # NOTE: carries across files, like the reference
+        for path in files:
+            with open(path) as fh:
+                for line in fh:
+                    if line_budget <= 0:
+                        break
+                    line_budget -= 1
+                    parts = line.split()
+                    if not parts:
+                        continue
+                    rid = parts[0]
+                    # mirror `ss >> uint64_t`: stop at first non-integer token
+                    vec = []
+                    for tok in parts[1:]:
+                        try:
+                            vec.append(int(tok))
+                        except ValueError:
+                            break
+                    if rid != last_id:
+                        groups.append((rid, []))
+                        last_id = rid
+                    groups[-1][1].append(vec)
+
+        # hash all lines in one device batch
+        all_vecs = [v for _, vecs in groups for v in vecs]
+        hashes = _hash_u64_vectors(all_vecs, p.seed, p.use64, backend)
+
+        pos = 0
+        for rid, vecs in groups:
+            n = len(vecs)
+            sizes = [len(v) for v in vecs]
+            length = sum(sizes)
+            if bug_compat_length and sizes:
+                length += sizes[0]
+            self.references.append(
+                Reference(
+                    name=rid,
+                    comment=f"FingerPrint : {rid}",
+                    length=length,
+                    hashes=hashes[pos : pos + n],
+                )
+            )
+            pos += n
+        self._create_index()
+
+    # ------------------------------------------------------------------ #
+    # classic sequence path
+    # ------------------------------------------------------------------ #
+
+    def init_from_sequences(
+        self,
+        records,
+        name: str = "",
+        comment: str = "",
+        merge: bool = False,
+        backend: str = "auto",
+    ) -> None:
+        """Sketch sequence records (classic k-mer MinHash path).
+
+        ``records`` yields ``(name, comment, seq)``.  With ``merge=True``
+        all records feed one reference (concatenated / reads mode,
+        Sketch::initFromReads); otherwise one reference per record
+        (``-i`` individual / per-sequence mode, sketchFileBySequence).
+        """
+        p = self.params
+        if merge:
+            records = list(records)
+            pools = []
+            total_len = 0
+            count = 0
+            first_name = first_comment = ""
+            for rname, rcomment, seq in records:
+                if len(seq) < p.kmer_size:
+                    continue
+                if count == 0:
+                    first_name, first_comment = rname, rcomment
+                count += 1
+                total_len += len(seq)
+                pools.append(seq)
+            hashes = _kmer_hash_pool(pools, p, backend)
+            values, counts = _bottom_k(hashes, p, backend)
+            if p.reads:
+                # reads mode stores the cardinality estimate as "length"
+                # (sketchFile, Sketch.cpp:1425-1436): genome size if given,
+                # else estimateSetSize from the top kept hash.
+                from fpmash_tpu.ops.bottomk import estimate_set_size
+
+                bits = 64 if p.use64 else 32
+                total_len = int(estimate_set_size(values, p.sketch_size, bits))
+            # comment = first record's "name comment"; multi-record inputs
+            # get the "[N seqs] ... [...]" wrapper (Sketch.cpp:1438-1446)
+            rcomment = comment
+            if not rcomment:
+                rcomment = (first_name + " " + first_comment).rstrip()
+                if first_comment:
+                    rcomment = first_name + " " + first_comment
+                if count > 1:
+                    rcomment = f"[{count} seqs] {rcomment} [...]"
+            self.references.append(
+                Reference(
+                    name=name or first_name,
+                    comment=rcomment,
+                    length=total_len,
+                    hashes=values,
+                    counts=counts if p.counts else None,
+                    counts_sorted=p.counts,
+                )
+            )
+        else:
+            for rname, rcomment, seq in records:
+                if len(seq) < p.kmer_size:
+                    continue
+                hashes = _kmer_hash_pool([seq], p, backend)
+                values, counts = _bottom_k(hashes, p, backend)
+                self.references.append(
+                    Reference(
+                        name=name or rname,
+                        comment=comment or rcomment,
+                        length=len(seq),
+                        hashes=values,
+                        counts=counts if p.counts else None,
+                        counts_sorted=p.counts,
+                    )
+                )
+        self._create_index()
+
+    def init_from_files(
+        self,
+        files: list[str],
+        individual: bool = False,
+        backend: str = "auto",
+    ) -> None:
+        """Sketch FASTA/FASTQ files (Sketch::initFromFiles semantics).
+
+        Default (concatenated per file): one reference per file named after
+        the file, comment from the first record (sketchFile,
+        Sketch.cpp:1299-1488).  ``individual=True``: one reference per
+        sequence.  ``.msh`` inputs load via the capnp codec with the
+        load-time truncation rule.
+        """
+        from fpmash_tpu.utils.fasta import read_sequences
+
+        for path in files:
+            if path.endswith(".msh"):
+                self.load_msh(path)
+                continue
+            records = list(read_sequences(path))
+            if individual:
+                self.init_from_sequences(records, backend=backend)
+            else:
+                # concatenated: reference named after the file path as given
+                # (sketchFile sets reference.name = fileNames[f])
+                self.init_from_sequences(records, name=path, merge=True, backend=backend)
+        self._create_index()
+
+    def init_from_reads(
+        self, files: list[str], name: str = "", comment: str = "", backend: str = "auto"
+    ) -> None:
+        """Reads mode: all records of all files merge into ONE reference
+        (Sketch::initFromReads, Sketch.cpp:203-247); requires counts."""
+        from fpmash_tpu.utils.fasta import read_sequences
+
+        records = []
+        for path in files:
+            records.extend(read_sequences(path))
+        self.init_from_sequences(
+            records,
+            name=name or (files[0] if files else ""),
+            comment=comment,
+            merge=True,
+            backend=backend,
+        )
+
+    # ------------------------------------------------------------------ #
+    # persistence
+    # ------------------------------------------------------------------ #
+
+    def load_msh(self, path: str, truncate: bool = True) -> None:
+        """Load a ``.msh``; adopt its parameters; truncate each hash list
+        to the active sketch_size like loadCapnp (Sketch.cpp:1117-1120)."""
+        from fpmash_tpu.utils.msh import read_msh
+
+        m = read_msh(path)
+        self.params = replace(
+            self.params,
+            kmer_size=m.kmer_size,
+            sketch_size=m.min_hashes_per_window,
+            seed=m.hash_seed,
+            noncanonical=m.noncanonical,
+            preserve_case=m.preserve_case,
+            alphabet=m.alphabet,
+            concatenated=m.concatenated,
+            error=m.error,
+            window_size=m.window_size,
+        )
+        cap = self.params.sketch_size
+        for r in m.references:
+            if self.params.use64:
+                hashes = r.hashes64 if r.hashes64 is not None else np.zeros(0, np.uint64)
+            else:
+                hashes = r.hashes32 if r.hashes32 is not None else np.zeros(0, np.uint32)
+            hashes = np.asarray(hashes, np.uint64)
+            if truncate and len(hashes) > cap:
+                hashes = hashes[:cap]
+            counts = None
+            if r.counts32 is not None:
+                counts = np.asarray(r.counts32, np.uint32)[: len(hashes)]
+            self.references.append(
+                Reference(
+                    name=r.name,
+                    comment=r.comment,
+                    length=r.length,
+                    hashes=hashes,
+                    counts=counts,
+                    counts_sorted=r.counts32_sorted,
+                )
+            )
+        self._create_index()
+
+    def write_msh(self, path: str) -> None:
+        from fpmash_tpu.utils.msh import MshFile, MshReference, write_msh
+
+        p = self.params
+        m = MshFile(
+            kmer_size=p.kmer_size,
+            window_size=p.window_size,
+            min_hashes_per_window=p.sketch_size,
+            concatenated=p.concatenated,
+            error=p.error,
+            noncanonical=p.noncanonical,
+            alphabet=p.alphabet,
+            preserve_case=p.preserve_case,
+            hash_seed=p.seed,
+        )
+        for r in self.references:
+            mr = MshReference(
+                name=r.name,
+                comment=r.comment,
+                length=int(r.length),
+                counts32_sorted=bool(r.counts_sorted and r.counts is not None and p.counts),
+            )
+            if p.use64:
+                mr.hashes64 = np.asarray(r.hashes, np.uint64)
+            else:
+                mr.hashes32 = np.asarray(r.hashes, np.uint64).astype(np.uint32)
+            if r.counts is not None and p.counts:
+                mr.counts32 = np.asarray(r.counts, np.uint32)
+            m.references.append(mr)
+        write_msh(path, m)
+
+    # ------------------------------------------------------------------ #
+
+    def _create_index(self) -> None:
+        self._index_by_id = {r.name: i for i, r in enumerate(self.references)}
+
+    def reference_index(self, name: str) -> int:
+        return self._index_by_id[name]
+
+    def __len__(self) -> int:
+        return len(self.references)
+
+    def check_compatible(self, other: "Sketch") -> list[str]:
+        """Parameter compatibility warnings (Sketch.cpp:277-309 /
+        CommandDistance.cpp:146-155 semantics)."""
+        issues = []
+        a, b = self.params, other.params
+        if a.kmer_size != b.kmer_size:
+            issues.append(f"kmer size mismatch ({a.kmer_size} vs {b.kmer_size})")
+        if a.alphabet != b.alphabet:
+            issues.append("alphabet mismatch")
+        if a.noncanonical != b.noncanonical:
+            issues.append("canonicality mismatch")
+        if a.seed != b.seed:
+            issues.append(f"seed mismatch ({a.seed} vs {b.seed})")
+        if a.preserve_case != b.preserve_case:
+            issues.append("case handling mismatch")
+        return issues
+
+
+# ---------------------------------------------------------------------- #
+# kernels dispatch
+# ---------------------------------------------------------------------- #
+
+
+def _hash_u64_vectors(vecs, seed: int, use64: bool, backend: str) -> np.ndarray:
+    """Hash a list of u64 vectors; returns u64 array (low 32 bits if !use64)."""
+    if not vecs:
+        return np.zeros(0, np.uint64)
+    if backend == "scalar" or (backend == "auto" and len(vecs) < 64):
+        from fpmash_tpu.scalar.murmur3 import hash_u64_vector
+
+        return np.array(
+            [hash_u64_vector(v, seed=seed, use64=use64) for v in vecs], np.uint64
+        )
+
+    import jax.numpy as jnp
+
+    from fpmash_tpu.ops.murmur3 import murmur3_u64_batch
+
+    n = len(vecs)
+    L = max((len(v) for v in vecs), default=1)
+    # bucket both dims to powers of two so repeated calls reuse compiles
+    B = _round_up_pow2(n, 64)
+    L = _round_up_pow2(max(L, 1), 16)
+    arr = np.zeros((B, L), np.uint64)
+    cnt = np.zeros(B, np.int32)
+    for i, v in enumerate(vecs):
+        arr[i, : len(v)] = v
+        cnt[i] = len(v)
+    h1, _ = murmur3_u64_batch(jnp.asarray(arr), jnp.asarray(cnt), seed=seed)
+    h1 = np.asarray(h1)[:n]
+    return h1 if use64 else (h1 & np.uint64(0xFFFFFFFF))
+
+
+def _round_up_pow2(n: int, floor: int = 1024) -> int:
+    m = floor
+    while m < n:
+        m *= 2
+    return m
+
+
+def _kmer_hash_pool(seqs: list[str], p: SketchParams, backend: str) -> np.ndarray:
+    """All valid k-mer hashes of all sequences, as one flat u64 pool.
+
+    Device path: all sequences concatenate into ONE buffer separated by
+    ``k-1`` NUL bytes (outside every alphabet), so windows spanning record
+    boundaries are invalid automatically and the whole pool hashes in a
+    single kernel launch.  The buffer pads to a power-of-two bucket so
+    repeated calls hit the jit cache.
+    """
+    if not seqs:
+        return np.zeros(0, np.uint64)
+    if backend == "scalar" or (backend == "auto" and sum(map(len, seqs)) < 512):
+        return _kmer_hash_pool_scalar(seqs, p)
+
+    import jax.numpy as jnp
+
+    from fpmash_tpu.ops.kmers import alphabet_mask, complement_table, kmer_hashes
+
+    k = p.kmer_size
+    sep = b"\x00" * (k - 1)
+    blob = sep.join(s.encode("ascii", "replace") if isinstance(s, str) else bytes(s) for s in seqs)
+    n = len(blob)
+    buf = np.zeros(_round_up_pow2(n), np.uint8)
+    buf[:n] = np.frombuffer(blob, np.uint8)
+
+    amask = jnp.asarray(alphabet_mask(p.alphabet))
+    ctab = jnp.asarray(complement_table())
+    h, valid = kmer_hashes(
+        jnp.asarray(buf),
+        jnp.int32(n),
+        amask,
+        ctab,
+        k=k,
+        noncanonical=p.noncanonical,
+        preserve_case=p.preserve_case,
+        seed=p.seed,
+        use64=p.use64,
+    )
+    out = np.asarray(h)[np.asarray(valid)]
+    if not p.use64:
+        out = out & np.uint64(0xFFFFFFFF)
+    return out
+
+
+def _kmer_hash_pool_scalar(seqs: list[str], p: SketchParams) -> np.ndarray:
+    from fpmash_tpu.ops.kmers import complement_table
+    from fpmash_tpu.scalar.murmur3 import hash_bytes
+
+    ctab = complement_table()
+    alpha = set(p.alphabet.encode())
+    k = p.kmer_size
+    out = []
+    for seq in seqs:
+        s = seq if p.preserve_case else seq.upper()
+        b = s.encode("ascii", "replace")
+        rc = bytes(ctab[c] for c in b)[::-1]
+        n = len(b)
+        for i in range(n - k + 1):
+            kmer = b[i : i + k]
+            if any(c not in alpha for c in kmer):
+                continue
+            if not p.noncanonical:
+                rck = rc[n - i - k : n - i]
+                if rck < kmer:
+                    kmer = rck
+            h = hash_bytes(kmer, seed=p.seed, use64=True)
+            out.append(h)
+    res = np.array(out, np.uint64) if out else np.zeros(0, np.uint64)
+    if not p.use64:
+        res = res & np.uint64(0xFFFFFFFF)
+    return res
+
+
+def _bottom_k(hashes: np.ndarray, p: SketchParams, backend: str):
+    """Bottom-s distinct + counts over a hash pool; sorted ascending."""
+    if backend == "scalar" or (backend == "auto" and len(hashes) < 4096):
+        from fpmash_tpu.ops.bottomk import bottom_k_host
+
+        values, counts = bottom_k_host(hashes, p.sketch_size, p.min_cov)
+        return values, counts
+
+    import jax.numpy as jnp
+
+    from fpmash_tpu.ops.bottomk import bottom_k_distinct
+
+    n_in = len(hashes)
+    N = _round_up_pow2(n_in, 4096)
+    pool = np.zeros(N, np.uint64)
+    pool[:n_in] = hashes
+    valid = np.zeros(N, bool)
+    valid[:n_in] = True
+    values, counts, n = bottom_k_distinct(
+        jnp.asarray(pool), jnp.asarray(valid), s=p.sketch_size, min_cov=p.min_cov
+    )
+    n = int(n)
+    return np.asarray(values)[:n], np.asarray(counts)[:n]

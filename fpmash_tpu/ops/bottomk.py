@@ -1,0 +1,89 @@
+"""Bottom-k distinct MinHash selection.
+
+Replaces the reference's ``MinHashHeap`` (mash/src/mash/MinHashHeap.cpp):
+keep the ``s`` smallest *distinct* hash values, with multiplicity counts,
+admitting a hash only once its multiplicity reaches ``multiplicity_minimum``
+(reads mode ``-m``; the optional bloom filter is an approximation of
+``-m 2`` and is modelled exactly here instead).
+
+The heap's streaming semantics are order-independent for a fixed input
+multiset (the final content is exactly "the s smallest distinct hashes with
+multiplicity >= m, with their counts"), so the batch equivalent is
+sort -> run-length -> filter -> take-first-s.  This equivalence is asserted
+against a literal heap model in the tests.
+
+Also provides the estimators backing reads-mode adaptive stopping
+(MinHashHeap.h:44-45): ``estimate_set_size = 2^bits * s / max_hash`` and
+``estimate_multiplicity = multiplicity_sum / |heap|``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_U64MAX = jnp.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+@partial(jax.jit, static_argnames=("s", "min_cov"))
+def bottom_k_distinct(hashes: jax.Array, valid: jax.Array, *, s: int, min_cov: int = 1):
+    """Bottom-s distinct hashes with counts from a flat pool.
+
+    Args:
+      hashes: u64[N] hash pool (any order).
+      valid:  bool[N] mask of live entries.
+      s: sketch size (minHashesPerWindow).
+      min_cov: minimum multiplicity for admission (reads mode).
+
+    Returns ``(values u64[s], counts u32[s], n u32)`` where only the first
+    ``n`` slots are meaningful; unused slots hold U64MAX/0.
+    """
+    x = jnp.where(valid, hashes.astype(jnp.uint64), _U64MAX)
+    x = jnp.sort(x)
+    N = x.shape[0]
+
+    is_start = jnp.concatenate([jnp.array([True]), x[1:] != x[:-1]])
+    is_start = is_start & (x != _U64MAX)
+
+    # multiplicity of the run each element belongs to
+    left = jnp.searchsorted(x, x, side="left")
+    right = jnp.searchsorted(x, x, side="right")
+    run_count = (right - left).astype(jnp.uint32)
+
+    eligible = is_start & (run_count >= min_cov)
+    idx = jnp.nonzero(eligible, size=s, fill_value=N)[0]
+    pad = idx >= N
+    idx = jnp.minimum(idx, N - 1)
+    values = jnp.where(pad, _U64MAX, x[idx])
+    counts = jnp.where(pad, jnp.uint32(0), run_count[idx])
+    n = jnp.sum(~pad).astype(jnp.uint32)
+    return values, counts, n
+
+
+def bottom_k_host(hashes, s: int, min_cov: int = 1):
+    """NumPy fallback / parity model for :func:`bottom_k_distinct`."""
+    values, counts = np.unique(np.asarray(hashes, dtype=np.uint64), return_counts=True)
+    keep = counts >= min_cov
+    values, counts = values[keep], counts[keep]
+    return values[:s], counts[:s].astype(np.uint32)
+
+
+def estimate_set_size(values: np.ndarray, s: int, bits: int = 64) -> float:
+    """Cardinality estimate from the top (largest kept) hash
+    (MinHashHeap.h:45): ``2^bits * k / topHash``."""
+    if len(values) < s:
+        return float(len(values))
+    top = float(values[s - 1])
+    if top == 0:
+        return float(len(values))
+    return (2.0**bits) * s / top
+
+
+def estimate_multiplicity(counts: np.ndarray) -> float:
+    """Mean multiplicity of kept hashes (MinHashHeap.h:44)."""
+    if len(counts) == 0:
+        return 0.0
+    return float(np.sum(counts)) / len(counts)

@@ -1,0 +1,110 @@
+"""Batched sketch-intersection kernels (the `dist` hot path).
+
+The reference compares sketch pairs with a serial merge-join per pair on a
+thread pool (CommandDistance.cpp:365-430, <=4096 pairs per task).  For
+*sorted distinct* hash lists the walk has a closed-form batch equivalent:
+
+With ``U`` the ascending distinct union of lists ``A`` and ``B`` and ``S``
+the sketch-size cap, the walk counts
+
+* ``common`` = number of shared values among the first ``min(|U|, S)``
+  union elements, and
+* ``denom`` = ``min(|U|, S)``.
+
+A shared value ``x = A[i]`` has union rank ``i + rank_B(x) - c_before(x)``
+(``c_before`` = shared values smaller than ``x``), so membership +
+searchsorted + a cumulative sum reproduce the walk exactly — one
+``O(S log S)`` vectorized pass per pair, batched over all pairs with
+``vmap``.  Equivalence to the literal walk is asserted in tests.
+
+This kernel requires sorted, internally-distinct lists (true for every
+classic sketch; the unsorted fingerprint quirk path uses the host walk in
+models.distance).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_U64MAX = jnp.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+@partial(jax.jit, static_argnames=("sketch_size",))
+def pairwise_common_denom(
+    ref: jax.Array,  # u64[R, S] padded with U64MAX
+    ref_len: jax.Array,  # i32[R]
+    qry: jax.Array,  # u64[Q, S]
+    qry_len: jax.Array,  # i32[Q]
+    *,
+    sketch_size: int,
+):
+    """common/denom of the capped merge-join for every (ref, query) pair.
+
+    Returns ``(common i32[R, Q], denom i32[R, Q])``.
+    """
+
+    S = ref.shape[1]
+
+    def one_pair(A, la, B, lb):
+        idx = jnp.arange(S, dtype=jnp.int32)
+        a_valid = idx < la
+        pos = jnp.searchsorted(B, A)  # left insertion points
+        member = (pos < lb) & (jnp.take(B, jnp.clip(pos, 0, S - 1)) == A) & a_valid
+        c_incl = jnp.cumsum(member.astype(jnp.int32))
+        c_before = c_incl - member.astype(jnp.int32)
+        union_rank = idx + pos.astype(jnp.int32) - c_before
+        common = jnp.sum((member & (union_rank < sketch_size)).astype(jnp.int32))
+        total_common = c_incl[-1]
+        union = la + lb - total_common
+        denom = jnp.minimum(union, sketch_size)
+        return common, denom
+
+    f = jax.vmap(
+        jax.vmap(one_pair, in_axes=(None, None, 0, 0)), in_axes=(0, 0, None, None)
+    )
+    return f(ref, ref_len, qry, qry_len)
+
+
+def _pad_batch(arrays, S=None):
+    n = len(arrays)
+    S = S or max((len(a) for a in arrays), default=1)
+    out = np.full((n, max(S, 1)), np.uint64(0xFFFFFFFFFFFFFFFF), np.uint64)
+    lens = np.zeros((n,), np.int32)
+    for i, a in enumerate(arrays):
+        a = np.asarray(a, np.uint64)[:S]
+        out[i, : len(a)] = a
+        lens[i] = len(a)
+    return out, lens
+
+
+def all_pairs_common_denom(refs, qrys, sketch_size: int):
+    """Host wrapper: lists of sorted hash arrays -> (common, denom) [R, Q]."""
+    S = max(
+        max((len(a) for a in refs), default=1),
+        max((len(a) for a in qrys), default=1),
+        1,
+    )
+    ref, ref_len = _pad_batch(refs, S)
+    qry, qry_len = _pad_batch(qrys, S)
+    common, denom = pairwise_common_denom(
+        jnp.asarray(ref),
+        jnp.asarray(ref_len),
+        jnp.asarray(qry),
+        jnp.asarray(qry_len),
+        sketch_size=sketch_size,
+    )
+    return np.asarray(common), np.asarray(denom)
+
+
+@partial(jax.jit, static_argnames=())
+def positional_matches(h1: jax.Array, l1: jax.Array, h2: jax.Array, l2: jax.Array):
+    """Batched positional fingerprint comparison (CommandTriangle.cpp:265):
+    per pair, matches = sum(h1[i] == h2[i], i < min(l1, l2))."""
+    n = jnp.minimum(l1, l2)
+    idx = jnp.arange(h1.shape[-1], dtype=jnp.int32)
+    eq = (h1 == h2) & (idx[None, :] < n[:, None])
+    return jnp.sum(eq.astype(jnp.int32), axis=-1), n

@@ -1,0 +1,119 @@
+"""K-mer extraction, canonicalization and hashing — the classic sketch path.
+
+Replaces the reference's per-k-mer inner loop ``addMinHashes``
+(mash/src/mash/Sketch.cpp:664-735): case folding, alphabet validity
+filtering, canonical strand selection (lexicographic min of forward vs
+reverse complement, Sketch.cpp:721-723) and MurmurHash3 — all as batched
+array ops under one ``jit``.
+
+The window extraction builds a ``[n_kmers, k]`` view by gathering ``k``
+shifted copies of the sequence; canonical selection compares the packed
+big-endian representation of forward vs reverse-complement windows
+(equivalent to ``memcmp``); hashing reuses
+:func:`fpmash_tpu.ops.murmur3.murmur3_bytes_batch`.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fpmash_tpu.ops.murmur3 import murmur3_bytes_batch
+
+# IUPAC complement for A-Z, identity elsewhere (Sketch.cpp:1223-1258).
+_IUPAC = {
+    "A": "T", "B": "V", "C": "G", "D": "H", "G": "C", "H": "D", "K": "M",
+    "M": "K", "N": "N", "R": "Y", "S": "S", "T": "A", "U": "A", "V": "B",
+    "W": "W", "Y": "R",
+}
+
+
+def complement_table() -> np.ndarray:
+    table = np.arange(256, dtype=np.uint8)
+    for a, b in _IUPAC.items():
+        table[ord(a)] = ord(b)
+        table[ord(a.lower())] = ord(b.lower())
+    return table
+
+
+def alphabet_mask(alphabet: str) -> np.ndarray:
+    mask = np.zeros(256, dtype=bool)
+    for c in alphabet:
+        mask[ord(c)] = True
+    return mask
+
+
+@partial(jax.jit, static_argnames=("k", "noncanonical", "preserve_case", "seed", "use64"))
+def kmer_hashes(
+    seq: jax.Array,
+    length: jax.Array,
+    alpha_mask: jax.Array,
+    comp_table: jax.Array,
+    *,
+    k: int,
+    noncanonical: bool = False,
+    preserve_case: bool = False,
+    seed: int = 42,
+    use64: bool = True,
+):
+    """Hash every valid k-mer of ``seq`` (u8[N], valid prefix ``length``).
+
+    Returns ``(hashes u64[N], valid bool[N])`` — entry ``i`` covers the
+    window starting at position ``i``; windows containing any character
+    outside the alphabet, or extending past ``length``, are invalid
+    (Sketch.cpp:696-713).  ``use64`` only controls the truncation done by
+    the caller; the full 64-bit h1 is always returned.
+    """
+    N = seq.shape[0]
+    seq = seq.astype(jnp.uint8)
+
+    if not preserve_case:
+        # lowercase a-z -> uppercase (Sketch.cpp:676-682)
+        lower = (seq > 96) & (seq < 123)
+        seq = jnp.where(lower, seq - 32, seq)
+
+    valid_char = alpha_mask[seq.astype(jnp.int32)]
+
+    # windows[i, j] = seq[i + j]
+    windows = jnp.stack([jnp.roll(seq, -j) for j in range(k)], axis=1)
+    valid_win = jnp.stack([jnp.roll(valid_char, -j) for j in range(k)], axis=1)
+    pos = jnp.arange(N, dtype=jnp.int32)
+    in_range = pos <= length - k
+    valid = jnp.all(valid_win, axis=1) & in_range
+
+    if not noncanonical:
+        # reverse complement of each window, then memcmp-min selection
+        rc = comp_table[windows.astype(jnp.int32)][:, ::-1]
+        # big-endian pack for lexicographic comparison, 8 bytes at a time
+        def pack_be(w):
+            pad = (-k) % 8
+            if pad:
+                w = jnp.pad(w, ((0, 0), (0, pad)))
+            grp = w.reshape(N, -1, 8).astype(jnp.uint64)
+            shifts = (jnp.uint64(56) - jnp.arange(8, dtype=jnp.uint64) * jnp.uint64(8))[None, None, :]
+            return jnp.sum(grp << shifts, axis=-1, dtype=jnp.uint64)
+
+        fwd_key = pack_be(windows)
+        rc_key = pack_be(rc)
+        # lexicographic tuple comparison fwd <= rc
+        le = jnp.ones((N,), bool)
+        decided = jnp.zeros((N,), bool)
+        for w in range(fwd_key.shape[1]):
+            f, r = fwd_key[:, w], rc_key[:, w]
+            le = jnp.where(~decided & (f < r), True, le)
+            le = jnp.where(~decided & (f > r), False, le)
+            decided = decided | (f != r)
+        windows = jnp.where(le[:, None], windows, rc)
+
+    lengths = jnp.full((N,), k, jnp.int32)
+    h1, _ = murmur3_bytes_batch(windows, lengths, seed=seed)
+    return h1, valid
+
+
+def encode_seq(seq: str | bytes) -> np.ndarray:
+    if isinstance(seq, str):
+        seq = seq.encode("ascii")
+    return np.frombuffer(seq, dtype=np.uint8).copy()

@@ -49,7 +49,11 @@ def read_sequences(path: str) -> Iterator[SeqRecord]:
 
 
 def _split_header(line: str) -> tuple[str, str]:
-    parts = line.strip().split(None, 1)
+    # kseq keeps everything after the first whitespace run (including a
+    # trailing \r on CRLF files) as the comment; preserved for byte-parity
+    # of sketch comments.
+    line = line.rstrip("\n")
+    parts = line.split(None, 1)
     name = parts[0] if parts else ""
     comment = parts[1] if len(parts) > 1 else ""
     return name, comment

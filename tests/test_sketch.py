@@ -1,0 +1,130 @@
+"""Sketch engine parity: fingerprint path, classic path, bottom-k."""
+
+import numpy as np
+import pytest
+
+from fpmash_tpu.models.sketch import Sketch, SketchParams
+from fpmash_tpu.utils.info_json import load_info_json
+from fpmash_tpu.utils.msh import read_msh
+
+
+def test_fingerprint_sketch_matches_msh(golden_dir):
+    """sketch -fp on DNA3-CFL.txt reproduces DNA3-sketch.msh content
+    (initFromFingerprints, Sketch.cpp:56-151)."""
+    params = SketchParams().for_fingerprint()
+    sk = Sketch(params)
+    sk.init_from_fingerprints([str(golden_dir / "cfl" / "DNA3-CFL.txt")])
+    m = read_msh(golden_dir / "cfl" / "DNA3-sketch.msh")
+    assert len(sk.references) == len(m.references) == 5
+    for mine, gold in zip(sk.references, m.references):
+        assert mine.name == gold.name
+        assert mine.comment == gold.comment
+        assert mine.length == gold.length  # includes the double-count quirk
+        assert list(map(int, mine.hashes)) == list(map(int, gold.hashes32))
+
+
+def test_fingerprint_grouping_by_consecutive_ids(tmp_path):
+    """Non-adjacent duplicate IDs become separate references
+    (Sketch.cpp:103-129)."""
+    f = tmp_path / "fp.txt"
+    f.write_text("a 1 2\na 3 4\nb 5\na 9\n")
+    sk = Sketch(SketchParams().for_fingerprint())
+    sk.init_from_fingerprints([str(f)])
+    assert [r.name for r in sk.references] == ["a", "b", "a"]
+    assert [len(r.hashes) for r in sk.references] == [2, 1, 1]
+    # length quirk: first line counted twice
+    assert sk.references[0].length == 2 + 2 + 2
+
+
+@pytest.mark.slow
+def test_classic_reads_sketch_matches_golden(golden_dir):
+    """`mash sketch -r -I reads reads1.fastq reads2.fastq` parity:
+    hashes, counts, and the estimateSetSize length (Sketch.cpp:1410-1436)."""
+    params = SketchParams(reads=True, counts=True)
+    sk = Sketch(params)
+    sk.init_from_reads(
+        [
+            str(golden_dir / "new_data" / "reads1.fastq"),
+            str(golden_dir / "new_data" / "reads2.fastq"),
+        ],
+        name="reads",
+        backend="jax",
+    )
+    m = read_msh(golden_dir / "new_data" / "reads.msh")
+    g = m.references[0]
+    r = sk.references[0]
+    assert r.length == g.length == 502359
+    assert list(map(int, r.hashes)) == list(map(int, g.hashes64))
+    assert list(map(int, r.counts)) == list(map(int, g.counts32))
+    # comment parity modulo the fixture's CRLF-era \r
+    assert r.comment == g.comment.replace("\r", "")
+
+
+def test_bottom_k_matches_heap_model():
+    """Batch bottom-k == a literal MinHashHeap streaming model
+    (MinHashHeap.cpp:68-146) for min_cov 1 and 2."""
+    import random
+
+    from fpmash_tpu.ops.bottomk import bottom_k_host
+
+    random.seed(42)
+    for min_cov in (1, 2):
+        for _ in range(20):
+            stream = [random.randint(0, 40) for _ in range(200)]
+            s = 8
+
+            # literal heap model
+            admitted: dict[int, int] = {}
+            pending: dict[int, int] = {}
+            for h in stream:
+                top = max(admitted) if len(admitted) >= s else None
+                if top is not None and not (h < top):
+                    continue
+                if h not in admitted:
+                    if min_cov == 1 or pending.get(h, 0) == min_cov - 1:
+                        admitted[h] = min_cov
+                        pending.pop(h, None)
+                    else:
+                        pending[h] = pending.get(h, 0) + 1
+                else:
+                    admitted[h] += 1
+                if len(admitted) > s:
+                    admitted.pop(max(admitted))
+
+            values, counts = bottom_k_host(np.array(stream, np.uint64), s, min_cov)
+            assert list(values) == sorted(admitted)
+            # counts may legitimately differ for the boundary (top) hash due
+            # to the heap's saturation skip; all others must match exactly.
+            heap_counts = [admitted[v] for v in sorted(admitted)]
+            assert list(counts[:-1]) == heap_counts[:-1]
+            assert counts[-1] >= heap_counts[-1] if len(counts) else True
+
+
+def test_classic_sketch_one_sequence_scalar_vs_jax():
+    import random
+
+    random.seed(1)
+    seq = "".join(random.choice("ACGTacgtN") for _ in range(3000))
+    rec = [("s1", "c", seq)]
+    a = Sketch(SketchParams())
+    a.init_from_sequences(rec, merge=True, backend="scalar")
+    b = Sketch(SketchParams())
+    b.init_from_sequences(rec, merge=True, backend="jax")
+    assert list(a.references[0].hashes) == list(b.references[0].hashes)
+
+
+def test_info_json_roundtrip(golden_dir):
+    from fpmash_tpu.utils.info_json import load_info_json, write_info_json
+
+    sk = Sketch(SketchParams().for_fingerprint())
+    sk.init_from_fingerprints([str(golden_dir / "cfl" / "DNA3-CFL.txt")])
+    text = write_info_json(sk)
+    doc = load_info_json(text)
+    golden = load_info_json(str(golden_dir / "cfl" / "DNA3-sketch.json"))
+    assert doc["kmer"] == golden["kmer"] == 1
+    assert doc["alphabet"] == golden["alphabet"]
+    assert doc["hashBits"] == golden["hashBits"] == 32
+    for mine, gold in zip(doc["sketches"], golden["sketches"]):
+        assert mine["name"] == gold["name"]
+        assert mine["length"] == gold["length"]
+        assert mine["hashes"][:1000] == gold["hashes"]
