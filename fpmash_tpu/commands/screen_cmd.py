@@ -1,0 +1,183 @@
+"""`fpmash screen` — containment of references within a read set
+(CommandScreen.cpp:40-257).
+
+Two query semantics exist in the lineage of the reference:
+
+* **streaming** (upstream Mash, and what the checked-in golden
+  ``test/ref/screen_ref.txt`` was produced by): every k-mer of the query
+  files is hashed and membership-tested against the reference sketch's hash
+  universe; one output line per *reference* with
+  ``identity  shared/denom  median-multiplicity  p-value  name  comment``.
+* **sketch-based** (the fork's rewrite): the query is itself sketched
+  (``-fp`` -> initFromFingerprints), shared counts are per *query*
+  (CommandScreen.cpp:116-151).  The rewrite also stopped incrementing
+  ``hashCounts`` so its median column always prints 0 (author TODO at
+  CommandScreen.cpp:206); we keep real counts instead, matching the golden.
+
+This command uses streaming semantics for sequence queries (golden parity)
+and sketch-based semantics for ``-fp`` fingerprint queries (the only mode
+the rewrite adds).
+"""
+
+from __future__ import annotations
+
+import sys
+from collections import defaultdict
+
+import numpy as np
+
+from fpmash_tpu.commands.common import expand_inputs
+from fpmash_tpu.models.sketch import Sketch, SketchParams, _kmer_hash_pool
+from fpmash_tpu.scalar.stats import format_g, screen_pvalue
+
+
+def add_parser(sub):
+    p = sub.add_parser(
+        "screen",
+        help="Determine whether query sequences are within a larger mixture of sequences.",
+    )
+    p.add_argument("reference", metavar="<sketch>")
+    p.add_argument("queries", nargs="+", metavar="<query>")
+    p.add_argument("-w", "--winner", action="store_true", help="Winner-takes-all strategy for identity estimates.")
+    p.add_argument("-i", "--identity", type=float, default=0.0, help="Minimum identity to report. [0]")
+    p.add_argument("-v", "--pvalue", type=float, default=1.0, help="Maximum p-value to report. [1.0]")
+    p.add_argument("-fp", "--fingerprint", action="store_true", help="Query files are fingerprint .txt files.")
+    p.add_argument("-p", "--threads", type=int, default=1, help="Parallelism (interface parity).")
+    p.add_argument("--backend", default="auto", choices=["auto", "jax", "scalar"])
+    # NOTE: screen does not take the shared sketch options in the reference
+    # either — parameters are inherited from the reference sketch
+    # (CommandScreen.cpp:66-78).
+    p.set_defaults(func=run)
+    return p
+
+
+def estimate_identity(common: int, denom: int, kmer_size: int) -> float:
+    """identity = jaccard^(1/k) (CommandScreen.cpp:259-278)."""
+    if denom == 0 or common == 0:
+        return 0.0
+    if common == denom:
+        return 1.0
+    return (common / denom) ** (1.0 / kmer_size)
+
+
+def run(args) -> int:
+    ref = Sketch()
+    ref.load_msh(args.reference)
+    p = ref.params
+
+    # hash -> set of reference indices (CommandScreen.cpp:81-102)
+    hash_table: dict[int, set[int]] = defaultdict(set)
+    for i, r in enumerate(ref.references):
+        for h in map(int, r.hashes):
+            hash_table[h].add(i)
+    set_size = len(hash_table)
+    print(f"Loading {args.reference}...", file=sys.stderr)
+    print(f"   {set_size} distinct hashes.", file=sys.stderr)
+
+    if args.fingerprint:
+        # the fork's rewrite uses the reference table size as setSize
+        return _run_fp_query(args, ref, hash_table, set_size)
+    return _run_streaming(args, ref, hash_table)
+
+
+def _run_streaming(args, ref: Sketch, hash_table) -> int:
+    """Upstream semantics: stream all query k-mers; report per reference."""
+    p = ref.params
+    from fpmash_tpu.utils.fasta import read_sequences
+
+    seqs = []
+    for path in expand_inputs(args.queries, False):
+        for rec in read_sequences(path):
+            if len(rec.seq) >= p.kmer_size:
+                seqs.append(rec.seq)
+    pool = _kmer_hash_pool(seqs, p, args.backend)
+    pool = np.asarray(pool, np.uint64)
+
+    values, counts = np.unique(pool, return_counts=True)
+
+    # Upstream's p-value uses the *query stream's* cardinality estimate as
+    # setSize (the same estimateSetSize that reads-mode sketches store as
+    # their length; MinHashHeap.h:45) — verified against the golden, whose
+    # implied setSize is exactly the reads sketch length 502359.
+    from fpmash_tpu.ops.bottomk import estimate_set_size
+
+    bits = 64 if p.use64 else 32
+    set_size = int(estimate_set_size(values, p.sketch_size, bits))
+    hash_counts: dict[int, int] = {}
+    shared = [0] * len(ref.references)
+    depths: list[list[int]] = [[] for _ in ref.references]
+    for v, c in zip(map(int, values), map(int, counts)):
+        if v in hash_table:
+            hash_counts[v] = c
+            for i in hash_table[v]:
+                shared[i] += 1
+                depths[i].append(c)
+
+    if args.winner:
+        print("Reallocating to winners...", file=sys.stderr)
+        scores = [
+            estimate_identity(shared[i], len(ref.references[i].hashes), p.kmer_size)
+            for i in range(len(ref.references))
+        ]
+        shared = [0] * len(ref.references)
+        depths = [[] for _ in ref.references]
+        for v, c in hash_counts.items():
+            idxs = hash_table[v]
+            best = max(
+                idxs,
+                key=lambda i: (scores[i], ref.references[i].length),
+            )
+            shared[best] += 1
+            depths[best].append(c)
+
+    print("Writing output...", file=sys.stderr)
+    for i, r in enumerate(ref.references):
+        denom = len(r.hashes)
+        if shared[i] == 0 and args.identity >= 0.0:
+            continue
+        identity = estimate_identity(shared[i], denom, p.kmer_size)
+        if identity < args.identity:
+            continue
+        pv = screen_pvalue(shared[i], set_size, p.kmer_space, denom)
+        if pv > args.pvalue:
+            continue
+        med = sorted(depths[i])[shared[i] // 2] if shared[i] > 0 else 0
+        sys.stdout.write(
+            f"{format_g(identity)}\t{shared[i]}/{denom}\t{med}\t{format_g(pv)}"
+            f"\t{r.name}\t{r.comment}\n"
+        )
+    return 0
+
+
+def _run_fp_query(args, ref: Sketch, hash_table, set_size) -> int:
+    """The fork's sketch-based query path (-fp): one line per query
+    reference (CommandScreen.cpp:116-257)."""
+    p = ref.params
+    qry = Sketch(p)
+    qry.init_from_fingerprints(expand_inputs(args.queries, False), backend=args.backend)
+
+    for q in qry.references:
+        qh = list(map(int, q.hashes))
+        shared = 0
+        dep = []
+        counts: dict[int, int] = defaultdict(int)
+        for h in qh:
+            if h in hash_table:
+                shared += 1
+                counts[h] += 1
+                dep.append(counts[h])
+        if shared == 0 and args.identity >= 0.0:
+            continue
+        denom = len(qh)
+        identity = estimate_identity(shared, denom, p.kmer_size)
+        if identity < args.identity:
+            continue
+        pv = screen_pvalue(shared, set_size, p.kmer_space, denom)
+        if pv > args.pvalue:
+            continue
+        med = sorted(dep)[shared // 2] if shared else 0
+        sys.stdout.write(
+            f"{format_g(identity)}\t{shared}/{denom}\t{med}\t{format_g(pv)}"
+            f"\t{q.name}\t{q.comment}\n"
+        )
+    return 0

@@ -1,0 +1,57 @@
+"""`fpmash sketch` — create sketches (CommandSketch.cpp:20-123)."""
+
+from __future__ import annotations
+
+import sys
+
+from fpmash_tpu.commands.common import add_sketch_options, expand_inputs, sketch_params_from_args
+from fpmash_tpu.models.sketch import Sketch
+
+
+def add_parser(sub):
+    p = sub.add_parser(
+        "sketch",
+        help="Create sketches (reduced representations for fast operations).",
+        description="Create a sketch file from FASTA/FASTQ inputs, or from "
+        "fingerprint .txt files with -fp.",
+    )
+    p.add_argument("inputs", nargs="+", metavar="<input>")
+    p.add_argument("-l", "--list", action="store_true", help="Lines in each <input> specify paths to sequence files, one per line.")
+    p.add_argument("-o", "--prefix", default=None, help="Output prefix (first input file used if unspecified). '.msh' appended.")
+    p.add_argument("-I", "--id", default=None, help="ID field for sketch of reads (instead of first sequence ID).")
+    p.add_argument("-C", "--comment", default=None, help="Comment for a sketch of reads (instead of first sequence comment).")
+    p.add_argument("-M", "--counts", action="store_true", help="Store multiplicity of each k-mer in each sketch.")
+    p.add_argument("-fp", "--fingerprint", action="store_true", help="Inputs are fingerprint .txt files instead of sequences.")
+    p.add_argument("--backend", default="auto", choices=["auto", "jax", "scalar"])
+    add_sketch_options(p)
+    p.set_defaults(func=run)
+    return p
+
+
+def run(args) -> int:
+    params = sketch_params_from_args(args, fingerprint=args.fingerprint)
+    if args.counts:
+        from dataclasses import replace
+
+        params = replace(params, counts=True)
+    files = expand_inputs(args.inputs, args.list)
+
+    sketch = Sketch(params)
+    if params.reads and not args.fingerprint:
+        sketch.init_from_reads(files, backend=args.backend)
+    elif args.fingerprint:
+        sketch.init_from_fingerprints(files, backend=args.backend)
+    else:
+        sketch.init_from_files(files, individual=args.individual, backend=args.backend)
+
+    if args.id is not None and sketch.references:
+        sketch.references[0].name = args.id
+    if args.comment is not None and sketch.references:
+        sketch.references[0].comment = args.comment
+    sketch._create_index()
+
+    prefix = args.prefix or (args.inputs[0] if args.inputs[0] != "-" else "stdin")
+    out = prefix if prefix.endswith(".msh") else prefix + ".msh"
+    print(f"Writing to {out}...", file=sys.stderr)
+    sketch.write_msh(out)
+    return 0

@@ -453,23 +453,42 @@ def _kmer_hash_pool(seqs: list[str], p: SketchParams, backend: str) -> np.ndarra
     sep = b"\x00" * (k - 1)
     blob = sep.join(s.encode("ascii", "replace") if isinstance(s, str) else bytes(s) for s in seqs)
     n = len(blob)
-    buf = np.zeros(_round_up_pow2(n), np.uint8)
-    buf[:n] = np.frombuffer(blob, np.uint8)
 
     amask = jnp.asarray(alphabet_mask(p.alphabet))
     ctab = jnp.asarray(complement_table())
-    h, valid = kmer_hashes(
-        jnp.asarray(buf),
-        jnp.int32(n),
-        amask,
-        ctab,
-        k=k,
-        noncanonical=p.noncanonical,
-        preserve_case=p.preserve_case,
-        seed=p.seed,
-        use64=p.use64,
-    )
-    out = np.asarray(h)[np.asarray(valid)]
+
+    # Process in fixed-size chunks (overlapped by k-1) so only a handful of
+    # shapes ever compile, regardless of input size.  XLA:CPU codegen time
+    # grows with the shape, so the CPU chunk is small; TPU takes big chunks.
+    import jax
+
+    CHUNK = (1 << 15) if jax.default_backend() == "cpu" else (1 << 22)
+    size = CHUNK if n > (CHUNK >> 2) else _round_up_pow2(n, 4096)
+    step = size - (k - 1)
+    pools = []
+    pos = 0
+    while pos < n:
+        end = min(pos + size, n)
+        buf = np.zeros(size, np.uint8)
+        buf[: end - pos] = np.frombuffer(blob[pos:end], np.uint8)
+        h, valid = kmer_hashes(
+            jnp.asarray(buf),
+            jnp.int32(end - pos),
+            amask,
+            ctab,
+            k=k,
+            noncanonical=p.noncanonical,
+            preserve_case=p.preserve_case,
+            seed=p.seed,
+            use64=p.use64,
+        )
+        valid = np.array(valid)
+        if end < n:
+            # windows starting in the overlap belong to the next chunk
+            valid[step:] = False
+        pools.append(np.asarray(h)[valid])
+        pos += step
+    out = np.concatenate(pools)
     if not p.use64:
         out = out & np.uint64(0xFFFFFFFF)
     return out

@@ -1,18 +1,27 @@
-"""Test config: force a virtual 8-device CPU platform before JAX loads.
+"""Test config: force a virtual 8-device CPU platform.
 
 Multi-chip sharding tests run on ``xla_force_host_platform_device_count=8``
 virtual CPU devices, per the driver's dry-run contract; real-TPU behavior is
 exercised by bench.py instead.
+
+NOTE: this environment force-registers a remote 'axon' TPU backend from
+sitecustomize and programmatically selects it, so the JAX_PLATFORMS env var
+alone is NOT enough — the platform must be overridden via jax.config after
+import (before first backend use).
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 
