@@ -1,0 +1,146 @@
+"""Sharded pipelines: fingerprint hashing, bottom-k merge, all-pairs tiles.
+
+Everything here is ``shard_map`` over a 1-D ``dp`` mesh:
+
+* :func:`sharded_fingerprint_hashes` — windows shard across devices; each
+  device runs the fused Duval->Murmur3 kernel locally; results all-gather.
+* :func:`sharded_bottom_k` — each device computes a local bottom-k over its
+  hash shard, candidates all-gather (s per device), and the final bottom-k
+  reduces the gathered candidate pool.  This is exactly the reference's
+  MinHashHeap semantics at slice scale: bottom-k is an associative,
+  order-insensitive reduction over distinct values.
+* :func:`sharded_all_pairs` — queries shard across devices; each device
+  computes its [R, Q/D] tile of common/denom against the replicated
+  reference sketch batch; tiles all-gather along the query axis.
+* :func:`pipeline_step` — the full fused step (factorize -> hash ->
+  bottom-k merge -> all-pairs distance) used by the multi-chip dry run and
+  benchmarks.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from fpmash_tpu.ops.compare import pairwise_common_denom
+from fpmash_tpu.ops.lyndon import cfl_lengths
+from fpmash_tpu.ops.murmur3 import murmur3_u64_batch
+
+_U64MAX = jnp.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _fused_fingerprint_hashes(windows, lengths, seed: int):
+    """Fused per-shard kernel: Duval factor lengths -> Murmur3 over the
+    u64 length-vector (the fingerprint hashing unit, Sketch.cpp:132)."""
+    fac_len, fac_count = cfl_lengths(windows, lengths)
+    h1, _ = murmur3_u64_batch(fac_len.astype(jnp.uint64), fac_count, seed=seed)
+    return h1
+
+
+def sharded_fingerprint_hashes(mesh: Mesh, windows, lengths, seed: int = 42):
+    """[B, L] u8 windows (B divisible by mesh size) -> u64 hashes [B],
+    computed shard-local with no cross-device traffic until the caller
+    gathers."""
+    fn = shard_map(
+        partial(_fused_fingerprint_hashes, seed=seed),
+        mesh=mesh,
+        in_specs=(P("dp", None), P("dp")),
+        out_specs=P("dp"),
+        check_vma=False,
+    )
+    return fn(windows, lengths)
+
+
+def _local_bottom_k(hashes, valid, s: int):
+    x = jnp.where(valid, hashes, _U64MAX)
+    x = jnp.sort(x)
+    is_start = jnp.concatenate([jnp.array([True]), x[1:] != x[:-1]])
+    is_start = is_start & (x != _U64MAX)
+    N = x.shape[0]
+    idx = jnp.nonzero(is_start, size=s, fill_value=N)[0]
+    pad = idx >= N
+    vals = jnp.where(pad, _U64MAX, x[jnp.minimum(idx, N - 1)])
+    return vals
+
+
+def sharded_bottom_k(mesh: Mesh, hashes, valid, s: int):
+    """Global bottom-s distinct hashes of a sharded pool.
+
+    Per-shard bottom-s -> all_gather of D*s candidates -> final bottom-s.
+    Correct because the global bottom-s distinct values are each in the
+    bottom-s of whichever shard holds them.
+    """
+
+    def shard_fn(h, v):
+        local = _local_bottom_k(h, v, s)  # [s]
+        allc = jax.lax.all_gather(local, "dp")  # [D, s]
+        flat = allc.reshape(-1)
+        return _local_bottom_k(flat, flat != _U64MAX, s)
+
+    fn = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P("dp"), P("dp")),
+        out_specs=P(),  # replicated result
+        check_vma=False,
+    )
+    return fn(hashes, valid)
+
+
+def sharded_all_pairs(mesh: Mesh, ref, ref_len, qry, qry_len, sketch_size: int):
+    """common/denom for all (ref, query) pairs with queries sharded.
+
+    ``ref[R, S]`` is replicated; ``qry[Q, S]`` shards over dp; each device
+    computes its [R, Q/D] tile; output shards along the query axis.
+    """
+
+    def shard_fn(r, rl, q, ql):
+        return pairwise_common_denom(r, rl, q, ql, sketch_size=sketch_size)
+
+    fn = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P("dp", None), P("dp")),
+        out_specs=(P(None, "dp"), P(None, "dp")),
+        check_vma=False,
+    )
+    return fn(ref, ref_len, qry, qry_len)
+
+
+def pipeline_step(mesh: Mesh, windows, lengths, ref, ref_len, *, seed: int = 42,
+                  sketch_size: int = 8):
+    """The full training-equivalent step, jitted over the mesh:
+
+    windows --dp--> Duval -> Murmur3 -> global bottom-k (collective merge)
+    and the resulting sketch compared against a replicated reference batch
+    (all-pairs tile).  Returns (sketch_values, common, denom).
+    """
+    hashes = sharded_fingerprint_hashes(mesh, windows, lengths, seed)
+    valid = jnp.ones(hashes.shape, bool)
+    sketch = sharded_bottom_k(mesh, hashes, valid, sketch_size)
+
+    qry = sketch[None, :]  # [1, s] as a query batch
+    qry_len = jnp.sum(sketch != _U64MAX, dtype=jnp.int32)[None]
+    common, denom = sharded_all_pairs_replicated(mesh, ref, ref_len, qry, qry_len, sketch_size)
+    return sketch, common, denom
+
+
+def sharded_all_pairs_replicated(mesh: Mesh, ref, ref_len, qry, qry_len, sketch_size: int):
+    """All-pairs where refs shard over dp and queries are replicated —
+    the layout used when the query side is a single merged sketch."""
+
+    def shard_fn(r, rl, q, ql):
+        return pairwise_common_denom(r, rl, q, ql, sketch_size=sketch_size)
+
+    fn = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P("dp", None), P("dp"), P(), P()),
+        out_specs=(P("dp", None), P("dp")),
+        check_vma=False,
+    )
+    return fn(ref, ref_len, qry, qry_len)
