@@ -193,13 +193,31 @@ def factorize_batch(
             f"expected one of {sorted(FACTORIZATIONS)}"
         )
     if backend == "auto":
-        backend = "jax" if factorization == "CFL" and len(windows) >= 64 else "scalar"
+        if factorization == "CFL" and len(windows) >= 64:
+            backend = "jax"
+        else:
+            backend = "native"
     if backend == "jax" and factorization == "CFL":
         from fpmash_tpu.ops.lyndon import cfl_factor_strings
 
         return cfl_factor_strings(windows)
+    if backend == "native":
+        from fpmash_tpu.utils.native_lyndon import factorize_batch_native
+
+        lens = factorize_batch_native(list(windows), factorization)
+        if lens is not None:
+            return [_slice_factors(w, ls) for w, ls in zip(windows, lens)]
     fn = FACTORIZATIONS[factorization]
     return [fn(w) for w in windows]
+
+
+def _slice_factors(w: str, lens: Sequence[int]) -> list[str]:
+    out = []
+    pos = 0
+    for n in lens:
+        out.append(w[pos : pos + n])
+        pos += n
+    return out
 
 
 def run_basic(

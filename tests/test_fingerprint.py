@@ -77,3 +77,16 @@ def test_jax_backend_matches_scalar(golden_dir):
     fp_s, _ = fingerprint_reads(reads, "CFL", backend="scalar")
     fp_j, _ = fingerprint_reads(reads, "CFL", backend="jax")
     assert fp_s == fp_j
+
+
+@pytest.mark.parametrize("fact", ["CFL", "ICFL", "CFL_ICFL-20", "ICFL_COMB", "CFL_ICFL_COMB-10"])
+def test_native_backend_matches_scalar(golden_dir, fact):
+    import fpmash_tpu.utils.native_lyndon as nl
+
+    if not nl.available():
+        pytest.skip("native library not built")
+    reads = extract_reads(str(golden_dir / "cfl" / "DNA3.fasta"), rev_com=True)[:1]
+    fp_s, fac_s = fingerprint_reads(reads, fact, backend="scalar", with_factors=True)
+    fp_n, fac_n = fingerprint_reads(reads, fact, backend="native", with_factors=True)
+    assert fp_s == fp_n
+    assert fac_s == fac_n

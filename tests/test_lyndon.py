@@ -75,12 +75,13 @@ def test_reverse_complement():
     assert reverse_complement("N") == "N"
 
 
-def test_device_duval_matches_scalar():
+@pytest.mark.parametrize("kernel", ["scan", "sa"])
+def test_device_duval_matches_scalar(kernel):
     from fpmash_tpu.ops.lyndon import cfl_lengths_host
 
     random.seed(13)
     words = ["".join(random.choice("ACGT") for _ in range(random.randint(1, 120))) for _ in range(150)]
-    words += ["A" * 100, "ACGT" * 25, "T" * 7 + "A", "A", "TTTT", "CAAAAAAB"]
-    got = cfl_lengths_host(words)
+    words += ["A" * 100, "ACGT" * 25, "T" * 7 + "A", "A", "TTTT", "CAAAAAAB", "BANANA"]
+    got = cfl_lengths_host(words, kernel=kernel)
     for w, lens in zip(words, got):
         assert lens == [len(f) for f in cfl(w)], w
