@@ -24,7 +24,7 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
 
-    from fpmash_tpu.ops.lyndon import cfl_lengths_sa as cfl_lengths
+    from fpmash_tpu.ops.lyndon import cfl_lengths_onehot as cfl_lengths
     from fpmash_tpu.ops.murmur3 import murmur3_u64_batch
 
     WINDOW = 100

@@ -172,9 +172,11 @@ def fingerprint_long_reads(
             factors = _strip_markers(factors)
             fp_segments.append(" ".join(str(len(f)) for f in factors))
             fac_segments.append(" ".join(factors))
-        fingerprint_lines.append(rid + " " + " | ".join(fp_segments) + " | \n")
+        # note the double space after the ID: the reference concatenates
+        # "ID " + " " before the first segment (fingerprint_utils.py:494-495)
+        fingerprint_lines.append(rid + "  " + " | ".join(fp_segments) + " | \n")
         if with_factors:
-            factor_lines.append(rid + " " + " | ".join(fac_segments) + " | \n")
+            factor_lines.append(rid + "  " + " | ".join(fac_segments) + " | \n")
     return fingerprint_lines, factor_lines
 
 

@@ -27,7 +27,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from fpmash_tpu.ops.compare import pairwise_common_denom
-from fpmash_tpu.ops.lyndon import cfl_lengths_sa as cfl_lengths
+from fpmash_tpu.ops.lyndon import cfl_lengths_onehot as cfl_lengths
 from fpmash_tpu.ops.murmur3 import murmur3_u64_batch
 
 _U64MAX = jnp.uint64(0xFFFFFFFFFFFFFFFF)

@@ -79,6 +79,33 @@ def test_jax_backend_matches_scalar(golden_dir):
     assert fp_s == fp_j
 
 
+def test_long_pipeline_format():
+    """Generalized pipeline byte format (cross-validated against the
+    reference's compute_long_fingerprint_by_list at development time):
+    double space after the ID, ' | ' after every chunk including the last."""
+    from fpmash_tpu.models.fingerprint import fingerprint_long_reads
+
+    reads = [("R0", "GATTACA" * 50), ("R1", "ACGT" * 20)]
+    fp, fac = fingerprint_long_reads(reads, "CFL", split=300, backend="scalar", with_factors=True)
+    assert fp[0] == (
+        "R0  1 3 7 7 7 7 7 7 7 7 7 7 7 7 7 7 7 7 7 7 7 7 7 7 7 7 7 7 7 7 7 7 "
+        "7 7 7 7 7 7 7 7 7 7 7 7 2 | 5 7 7 7 7 7 7 2 1 | \n"
+    )
+    assert fp[1] == "R1  4 4 4 4 4 4 4 4 4 4 4 4 4 4 4 4 4 4 4 4 | \n"
+    assert fac[1] == "R1  " + " ".join(["ACGT"] * 20) + " | \n"
+
+
+def test_extract_long_reads_revcomp(golden_dir, tmp_path):
+    """Long-read extraction emits both _0 and _1 lines with rev_com
+    (read_long_fasta_2_steps, fingerprint_utils.py:165-201)."""
+    from fpmash_tpu.models.fingerprint import extract_long_reads
+
+    f = tmp_path / "t.fasta"
+    f.write_text(">seq1 comment\nAACG\n")
+    out = extract_long_reads(str(f), rev_com=True)
+    assert out == [("seq1_0", "AACG"), ("seq1_1", "CGTT")]
+
+
 @pytest.mark.parametrize("fact", ["CFL", "ICFL", "CFL_ICFL-20", "ICFL_COMB", "CFL_ICFL_COMB-10"])
 def test_native_backend_matches_scalar(golden_dir, fact):
     import fpmash_tpu.utils.native_lyndon as nl
