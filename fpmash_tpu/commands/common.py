@@ -66,6 +66,11 @@ def sketch_params_from_args(args, fingerprint: bool = False) -> SketchParams:
     )
     if args.bloom is not None or args.min_cov > 1 or args.target_cov > 0 or args.genome:
         p = _set(p, reads=True)
+    if args.bloom is not None:
+        # The reference's bloom filter approximates "admit at multiplicity
+        # >= 2" under a memory bound (MinHashHeap.cpp:19-41,78-95); the
+        # batch engine counts exactly, so -b maps to exact min_cov 2.
+        p = _set(p, min_cov=max(2, args.min_cov))
     if p.reads:
         p = _set(p, counts=True)
     if p.reads and not p.concatenated:

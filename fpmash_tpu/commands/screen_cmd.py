@@ -103,15 +103,25 @@ def _run_streaming(args, ref: Sketch, hash_table) -> int:
 
     bits = 64 if p.use64 else 32
     set_size = int(estimate_set_size(values, p.sketch_size, bits))
-    hash_counts: dict[int, int] = {}
+    # membership of each reference's hashes in the query hash multiset,
+    # via searchsorted on the sorted distinct query hashes
     shared = [0] * len(ref.references)
     depths: list[list[int]] = [[] for _ in ref.references]
-    for v, c in zip(map(int, values), map(int, counts)):
-        if v in hash_table:
-            hash_counts[v] = c
-            for i in hash_table[v]:
-                shared[i] += 1
-                depths[i].append(c)
+    for i, r in enumerate(ref.references):
+        h = np.asarray(r.hashes, np.uint64)
+        idx = np.searchsorted(values, h)
+        idx = np.minimum(idx, len(values) - 1) if len(values) else idx
+        present = (values[idx] == h) if len(values) else np.zeros(len(h), bool)
+        shared[i] = int(np.sum(present))
+        depths[i] = [int(c) for c in counts[idx[present]]]
+    hash_counts: dict[int, int] = {}
+    if args.winner:
+        member = set()
+        for r in ref.references:
+            member.update(map(int, r.hashes))
+        for v, c in zip(map(int, values), map(int, counts)):
+            if v in member:
+                hash_counts[v] = c
 
     if args.winner:
         print("Reallocating to winners...", file=sys.stderr)

@@ -171,33 +171,45 @@ def cfl_lengths_sa(batch: jax.Array, lengths: jax.Array):
 def cfl_lengths_onehot(batch: jax.Array, lengths: jax.Array):
     """Duval scan with explicit one-hot gathers — the TPU-tuned variant.
 
-    Same automaton as :func:`cfl_lengths`, but per-row dynamic reads
-    ``s[k]``/``s[j]`` are computed as masked reductions over the length
-    axis and factor boundaries are accumulated into a boolean mask with a
-    one-hot OR — no XLA gather/scatter ops anywhere, only elementwise +
-    reductions that map directly onto the VPU.  Factor lengths then fall
-    out of the boundary mask with one sort (as in :func:`cfl_lengths_sa`).
+    Same automaton as :func:`cfl_lengths`, but engineered for HBM traffic
+    and VPU shape:
 
-    Step bound: scan comparisons <= 2n, emissions <= n, transitions <= n,
-    and every outer loop advances i by at least its factor span, giving a
-    total <= 3n; ``3L + 2`` iterations always suffice.
+    * per-row dynamic reads ``s[k]``/``s[j]`` are masked reductions over
+      the length axis (no XLA gather ops) on an int16 copy of the batch;
+    * factor boundaries accumulate into a *packed* ``u32[L/32]`` bitmask
+      per row — the per-step state is tiny instead of a [B, L] mask;
+    * the loop is a ``while_loop`` that exits as soon as every row's
+      automaton has finished (typical inputs need ~1.5n steps; the bound
+      is 3n: scan comparisons <= 2n, emissions <= n, and transitions fold
+      into the first emission step).
+
+    Factor lengths then fall out of the unpacked mask with one sort (as in
+    :func:`cfl_lengths_sa`).
     """
-    s = batch.astype(jnp.int32)
+    s = batch.astype(jnp.int16)
     n = lengths.astype(jnp.int32)
     B, L = s.shape
-    steps = 3 * L + 2
+    W = (L + 31) // 32  # boundary words
+    max_steps = 3 * L + 2
 
+    iota16 = jax.lax.broadcasted_iota(jnp.int16, (B, L), 1)
     iota = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
     in_row = iota < n[:, None]
+    wiota = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
 
-    def sel(col):
-        # s[b, col[b]] as a masked reduction (no gather)
-        return jnp.sum(jnp.where(iota == col[:, None], s, 0), axis=1)
+    def sel(col16):
+        return jnp.sum(
+            jnp.where(iota16 == col16[:, None], s, jnp.int16(0)), axis=1, dtype=jnp.int16
+        )
 
-    def step(state, _):
-        i, j, k, emitting, boundary = state
-        s_k = sel(k)
-        s_j = sel(j)
+    def cond(state):
+        t, i, j, k, emitting, words = state
+        return (t < max_steps) & jnp.any(i < n)
+
+    def body(state):
+        t, i, j, k, emitting, words = state
+        s_k = sel(k.astype(jnp.int16))
+        s_j = sel(j.astype(jnp.int16))
         done = i >= n
 
         can_extend = (j < n) & (s_k <= s_j)
@@ -205,8 +217,10 @@ def cfl_lengths_onehot(batch: jax.Array, lengths: jax.Array):
 
         p = j - k
         emit_now = i <= k
-        mark = (emitting & ~done & emit_now)[:, None] & (iota == i[:, None])
-        boundary = boundary | mark
+        do_mark = emitting & ~done & emit_now
+        mark_word = wiota == (i[:, None] >> 5)
+        bit = (jnp.uint32(1) << (i.astype(jnp.uint32) & jnp.uint32(31)))[:, None]
+        words = jnp.where(do_mark[:, None] & mark_word, words | bit, words)
 
         i_emit = jnp.where(emit_now, i + p, i)
         reset = ~emit_now
@@ -218,13 +232,24 @@ def cfl_lengths_onehot(batch: jax.Array, lengths: jax.Array):
         j_next = jnp.where(scanning, jnp.where(can_extend, j + 1, j), jnp.where(done, j, j_emit))
         k_next = jnp.where(scanning, jnp.where(can_extend, k_scan, k), jnp.where(done, k, k_emit))
         emitting_next = jnp.where(scanning, ~can_extend, jnp.where(done, emitting, emit_now))
-        return (i_next, j_next, k_next, emitting_next, boundary), None
+        return (t + 1, i_next, j_next, k_next, emitting_next, words)
 
     zeros = jnp.zeros((B,), jnp.int32)
-    init = (zeros, zeros + 1, zeros, jnp.zeros((B,), bool), jnp.zeros((B, L), bool))
-    (_, _, _, _, boundary), _ = jax.lax.scan(step, init, None, length=steps)
+    init = (
+        jnp.int32(0),
+        zeros,
+        zeros + 1,
+        zeros,
+        jnp.zeros((B,), bool),
+        jnp.zeros((B, W), jnp.uint32),
+    )
+    _, _, _, _, _, words = jax.lax.while_loop(cond, body, init)
 
+    # unpack bits: boundary[b, l] = words[b, l>>5] >> (l & 31) & 1
+    word_of = jnp.repeat(words, 32, axis=1)[:, :L]
+    boundary = ((word_of >> (iota.astype(jnp.uint32) & jnp.uint32(31))) & jnp.uint32(1)) > 0
     boundary = boundary & in_row
+
     bpos = jnp.where(boundary, iota, L)
     bpos = jnp.sort(bpos, axis=-1)
     nxt = jnp.concatenate([bpos[:, 1:], jnp.full((B, 1), L, jnp.int32)], axis=1)
