@@ -81,23 +81,59 @@ def _pad_batch(arrays, S=None):
     return out, lens
 
 
-def all_pairs_common_denom(refs, qrys, sketch_size: int):
-    """Host wrapper: lists of sorted hash arrays -> (common, denom) [R, Q]."""
+def all_pairs_common_denom(refs, qrys, sketch_size: int, tile: int = 512):
+    """Host wrapper: lists of sorted hash arrays -> (common, denom) [R, Q].
+
+    Tiles the pair grid in ``tile x tile`` blocks so the vmapped kernel's
+    per-pair intermediates stay bounded at large scale (10k x 10k sketches
+    stream through as ~400 tiles); tiles reuse one compiled shape.
+    """
     S = max(
         max((len(a) for a in refs), default=1),
         max((len(a) for a in qrys), default=1),
         1,
     )
+    R, Q = len(refs), len(qrys)
     ref, ref_len = _pad_batch(refs, S)
     qry, qry_len = _pad_batch(qrys, S)
-    common, denom = pairwise_common_denom(
-        jnp.asarray(ref),
-        jnp.asarray(ref_len),
-        jnp.asarray(qry),
-        jnp.asarray(qry_len),
-        sketch_size=sketch_size,
-    )
-    return np.asarray(common), np.asarray(denom)
+    if R * Q <= tile * tile:
+        common, denom = pairwise_common_denom(
+            jnp.asarray(ref),
+            jnp.asarray(ref_len),
+            jnp.asarray(qry),
+            jnp.asarray(qry_len),
+            sketch_size=sketch_size,
+        )
+        return np.asarray(common), np.asarray(denom)
+
+    # fixed-shape tiles (padded) so every tile hits the same executable
+    Rp = ((R + tile - 1) // tile) * tile
+    Qp = ((Q + tile - 1) // tile) * tile
+    refp = np.full((Rp, S), np.uint64(0xFFFFFFFFFFFFFFFF), np.uint64)
+    refp[:R] = ref
+    reflp = np.zeros(Rp, np.int32)
+    reflp[:R] = ref_len
+    qryp = np.full((Qp, S), np.uint64(0xFFFFFFFFFFFFFFFF), np.uint64)
+    qryp[:Q] = qry
+    qrylp = np.zeros(Qp, np.int32)
+    qrylp[:Q] = qry_len
+
+    common = np.zeros((R, Q), np.int32)
+    denom = np.zeros((R, Q), np.int32)
+    for r0 in range(0, Rp, tile):
+        for q0 in range(0, Qp, tile):
+            c, d = pairwise_common_denom(
+                jnp.asarray(refp[r0 : r0 + tile]),
+                jnp.asarray(reflp[r0 : r0 + tile]),
+                jnp.asarray(qryp[q0 : q0 + tile]),
+                jnp.asarray(qrylp[q0 : q0 + tile]),
+                sketch_size=sketch_size,
+            )
+            rlo, qlo = r0, q0
+            rhi, qhi = min(r0 + tile, R), min(q0 + tile, Q)
+            common[rlo:rhi, qlo:qhi] = np.asarray(c)[: rhi - rlo, : qhi - qlo]
+            denom[rlo:rhi, qlo:qhi] = np.asarray(d)[: rhi - rlo, : qhi - qlo]
+    return common, denom
 
 
 @partial(jax.jit, static_argnames=())

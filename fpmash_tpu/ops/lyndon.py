@@ -271,10 +271,14 @@ def encode_batch(windows, dtype=np.uint8):
     return arr, lens
 
 
-def cfl_lengths_host(windows, kernel: str = "sa") -> list[list[int]]:
+def cfl_lengths_host(windows, kernel: str = "onehot") -> list[list[int]]:
     """Factor-length lists for a batch of strings via the device kernel."""
     arr, lens = encode_batch(windows)
-    fn = cfl_lengths_sa if kernel == "sa" else cfl_lengths
+    fn = {
+        "sa": cfl_lengths_sa,
+        "onehot": cfl_lengths_onehot,
+        "scan": cfl_lengths,
+    }[kernel]
     fac_len, fac_count = jax.device_get(fn(jnp.asarray(arr), jnp.asarray(lens)))
     return [list(map(int, fac_len[b, : fac_count[b]])) for b in range(len(windows))]
 

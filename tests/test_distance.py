@@ -67,6 +67,19 @@ def test_kernel_equals_walk_random():
                 )
 
 
+def test_tiled_all_pairs_matches_untiled():
+    """The tiled large-scale path produces identical results to one shot."""
+    from fpmash_tpu.ops.compare import all_pairs_common_denom
+
+    rng = np.random.default_rng(9)
+    S = 32
+    refs = [np.sort(rng.choice(10**6, S, replace=False).astype(np.uint64)) for _ in range(70)]
+    qrys = [np.sort(rng.choice(10**6, S, replace=False).astype(np.uint64)) for _ in range(45)]
+    c1, d1 = all_pairs_common_denom(refs, qrys, S)  # single shot (<= tile^2)
+    c2, d2 = all_pairs_common_denom(refs, qrys, S, tile=16)  # forced tiling
+    assert np.array_equal(c1, c2) and np.array_equal(d1, d2)
+
+
 def test_compare_fingerprints_positional():
     a = np.array([1, 2, 3, 4], np.uint64)
     b = np.array([1, 9, 3], np.uint64)
