@@ -175,7 +175,8 @@ def cfl_lengths_onehot(batch: jax.Array, lengths: jax.Array):
     and VPU shape:
 
     * per-row dynamic reads ``s[k]``/``s[j]`` are masked reductions over
-      the length axis (no XLA gather ops) on an int16 copy of the batch;
+      a 4-chars-per-u32 packed copy of the batch (no XLA gather ops, and
+      the loop-invariant string traffic shrinks 4x);
     * factor boundaries accumulate into a *packed* ``u32[L/32]`` bitmask
       per row — the per-step state is tiny instead of a [B, L] mask;
     * the loop is a ``while_loop`` that exits as soon as every row's
@@ -186,21 +187,31 @@ def cfl_lengths_onehot(batch: jax.Array, lengths: jax.Array):
     Factor lengths then fall out of the unpacked mask with one sort (as in
     :func:`cfl_lengths_sa`).
     """
-    s = batch.astype(jnp.int16)
     n = lengths.astype(jnp.int32)
-    B, L = s.shape
+    B, L = batch.shape
     W = (L + 31) // 32  # boundary words
     max_steps = 3 * L + 2
 
-    iota16 = jax.lax.broadcasted_iota(jnp.int16, (B, L), 1)
     iota = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
     in_row = iota < n[:, None]
     wiota = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
 
-    def sel(col16):
-        return jnp.sum(
-            jnp.where(iota16 == col16[:, None], s, jnp.int16(0)), axis=1, dtype=jnp.int16
+    # pack 4 chars per u32 word: per-step selection reduces over L/4 lanes
+    # instead of L, cutting the dominant loop-invariant traffic 4x
+    CW = (L + 3) // 4
+    padded = jnp.pad(batch.astype(jnp.uint32), ((0, 0), (0, CW * 4 - L)))
+    shifts = (jnp.arange(4, dtype=jnp.uint32) * jnp.uint32(8))[None, None, :]
+    packed = jnp.sum(padded.reshape(B, CW, 4) << shifts, axis=-1, dtype=jnp.uint32)
+    ciota = jax.lax.broadcasted_iota(jnp.int32, (B, CW), 1)
+
+    def sel(col):
+        word = jnp.sum(
+            jnp.where(ciota == (col[:, None] >> 2), packed, jnp.uint32(0)),
+            axis=1,
+            dtype=jnp.uint32,
         )
+        sh = (col.astype(jnp.uint32) & jnp.uint32(3)) * jnp.uint32(8)
+        return ((word >> sh) & jnp.uint32(0xFF)).astype(jnp.int32)
 
     def cond(state):
         t, i, j, k, emitting, words = state
@@ -208,8 +219,8 @@ def cfl_lengths_onehot(batch: jax.Array, lengths: jax.Array):
 
     def body(state):
         t, i, j, k, emitting, words = state
-        s_k = sel(k.astype(jnp.int16))
-        s_j = sel(j.astype(jnp.int16))
+        s_k = sel(k)
+        s_j = sel(jnp.minimum(j, L - 1))
         done = i >= n
 
         can_extend = (j < n) & (s_k <= s_j)
