@@ -22,6 +22,9 @@ def add_parser(sub):
     p.add_argument("-C", "--comment", default=None, help="Comment for a sketch of reads (instead of first sequence comment).")
     p.add_argument("-M", "--counts", action="store_true", help="Store multiplicity of each k-mer in each sketch.")
     p.add_argument("-fp", "--fingerprint", action="store_true", help="Inputs are fingerprint .txt files instead of sequences.")
+    p.add_argument("--direct-fp", action="store_true", help="Integrated pipeline: FASTA inputs are fingerprinted (shift windows + factorization) and sketched in one on-device pass, skipping the .txt round-trip. Equivalent to lyn2vec + sketch -fp.")
+    p.add_argument("--factorization", default="CFL", help="Factorization for --direct-fp. [CFL]")
+    p.add_argument("--rev-comb", default="true", choices=["true", "false"], help="extract_reads rev_com mode for --direct-fp. [true]")
     p.add_argument("--backend", default="auto", choices=["auto", "jax", "scalar"])
     add_sketch_options(p)
     p.set_defaults(func=run)
@@ -35,6 +38,21 @@ def run(args) -> int:
 
         params = replace(params, counts=True)
     files = expand_inputs(args.inputs, args.list)
+
+    if args.direct_fp:
+        from fpmash_tpu.models.fingerprint import extract_reads
+
+        params = sketch_params_from_args(args, fingerprint=True)
+        sketch = Sketch(params)
+        reads = []
+        for f in files:
+            reads.extend(extract_reads(f, rev_com=args.rev_comb == "true"))
+        sketch.init_from_reads_fingerprint(reads, args.factorization)
+        prefix = args.prefix or files[0]
+        out = prefix if prefix.endswith(".msh") else prefix + ".msh"
+        print(f"Writing to {out}...", file=sys.stderr)
+        sketch.write_msh(out)
+        return 0
 
     sketch = Sketch(params)
     if params.reads and not args.fingerprint:

@@ -155,6 +155,125 @@ class Sketch:
             pos += n
         self._create_index()
 
+    def init_from_reads_fingerprint(
+        self,
+        reads,
+        factorization: str = "CFL",
+        shift: bool = True,
+        bug_compat_length: bool = True,
+    ) -> None:
+        """Integrated device path: reads -> shift windows -> factorize ->
+        hash -> references, without materializing fingerprint text.
+
+        Produces exactly the same sketches as running the lyn2vec pipeline
+        to a ``.txt`` and then :meth:`init_from_fingerprints` on it
+        (asserted in tests), but the windows, Duval factorization and
+        MurmurHash3 all stay on device.  ``reads`` yields ``(id, SEQ)``.
+        """
+        import jax.numpy as jnp
+
+        from fpmash_tpu.models.fingerprint import SHIFT_WINDOW, shift_windows
+        from fpmash_tpu.ops.lyndon import cfl_lengths_onehot
+        from fpmash_tpu.ops.murmur3 import murmur3_u64_batch
+
+        p = self.params
+        reads = list(reads)
+        if factorization != "CFL":
+            # non-CFL families route through the native/scalar factorizer
+            from fpmash_tpu.models.fingerprint import factorize_batch
+
+            groups = []
+            for rid, seq in reads:
+                windows = shift_windows(seq) if shift else [seq]
+                factors = factorize_batch(windows, factorization, "auto")
+                vecs = [[len(f) for f in fl if f not in ("<<", ">>")] for fl in factors]
+                groups.append((rid, vecs))
+            line_budget = LIMIT_READ_FINGERPRINT
+            all_vecs = []
+            trimmed = []
+            for rid, vecs in groups:
+                take = vecs[: max(0, line_budget)]
+                line_budget -= len(take)
+                if take:
+                    trimmed.append((rid, take))
+                    all_vecs.extend(take)
+            hashes = _hash_u64_vectors(all_vecs, p.seed, p.use64, "auto")
+            pos = 0
+            for rid, vecs in trimmed:
+                sizes = [len(v) for v in vecs]
+                length = sum(sizes) + (sizes[0] if bug_compat_length and sizes else 0)
+                self.references.append(
+                    Reference(
+                        name=rid,
+                        comment=f"FingerPrint : {rid}",
+                        length=length,
+                        hashes=hashes[pos : pos + len(vecs)],
+                    )
+                )
+                pos += len(vecs)
+            self._create_index()
+            return
+
+        # device CFL path: batch all windows of all reads
+        W = SHIFT_WINDOW
+        ids = []
+        rows = []
+        for rid, seq in reads:
+            seq = seq.upper()
+            n = len(seq)
+            if shift and n >= W:
+                doubled = np.frombuffer(
+                    (seq + seq[: W - 1]).encode("ascii", "replace"), np.uint8
+                )
+                wins = np.lib.stride_tricks.sliding_window_view(doubled, W)[:n]
+                lens = np.full((n,), W, np.int32)
+            else:
+                arr = np.zeros((1, max(n, 1)), np.uint8)
+                arr[0, :n] = np.frombuffer(seq.encode("ascii", "replace"), np.uint8)
+                wins = arr
+                lens = np.array([n], np.int32)
+            ids.append(rid)
+            rows.append((wins, lens))
+
+        total = sum(r.shape[0] for r, _ in rows)
+        budget = min(total, LIMIT_READ_FINGERPRINT)
+        Lmax = max(r.shape[1] for r, _ in rows)
+        batch = np.zeros((_round_up_pow2(budget, 1024), Lmax), np.uint8)
+        lengths = np.zeros(batch.shape[0], np.int32)
+        row_ptr = 0
+        counts = []
+        for wins, lens in rows:
+            take = min(wins.shape[0], budget - row_ptr)
+            if take > 0:
+                batch[row_ptr : row_ptr + take, : wins.shape[1]] = wins[:take]
+                lengths[row_ptr : row_ptr + take] = lens[:take]
+            counts.append(max(take, 0))
+            row_ptr += max(take, 0)
+
+        fac_len, fac_count = cfl_lengths_onehot(jnp.asarray(batch), jnp.asarray(lengths))
+        h1, _ = murmur3_u64_batch(fac_len.astype(jnp.uint64), fac_count, seed=p.seed)
+        h1 = np.asarray(h1)[:row_ptr]
+        if not p.use64:
+            h1 = h1 & np.uint64(0xFFFFFFFF)
+        fac_count_np = np.asarray(fac_count)[:row_ptr]
+
+        pos = 0
+        for rid, cnt in zip(ids, counts):
+            if cnt == 0:
+                continue
+            sizes = fac_count_np[pos : pos + cnt]
+            length = int(np.sum(sizes)) + (int(sizes[0]) if bug_compat_length and len(sizes) else 0)
+            self.references.append(
+                Reference(
+                    name=rid,
+                    comment=f"FingerPrint : {rid}",
+                    length=length,
+                    hashes=h1[pos : pos + cnt],
+                )
+            )
+            pos += cnt
+        self._create_index()
+
     # ------------------------------------------------------------------ #
     # classic sequence path
     # ------------------------------------------------------------------ #

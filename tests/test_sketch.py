@@ -113,6 +113,37 @@ def test_classic_sketch_one_sequence_scalar_vs_jax():
     assert list(a.references[0].hashes) == list(b.references[0].hashes)
 
 
+def test_direct_fp_path_equals_txt_path(golden_dir):
+    """Integrated reads->sketch device path == lyn2vec txt + sketch -fp."""
+    from fpmash_tpu.models.fingerprint import extract_reads
+
+    reads = extract_reads(str(golden_dir / "cfl" / "DNA3.fasta"), rev_com=True)
+    a = Sketch(SketchParams().for_fingerprint())
+    a.init_from_fingerprints([str(golden_dir / "cfl" / "DNA3-CFL.txt")])
+    b = Sketch(SketchParams().for_fingerprint())
+    b.init_from_reads_fingerprint(reads, "CFL")
+    assert len(a.references) == len(b.references)
+    for x, y in zip(a.references, b.references):
+        assert x.name == y.name and x.length == y.length
+        assert list(map(int, x.hashes)) == list(map(int, y.hashes))
+
+
+def test_direct_fp_cli(golden_dir, tmp_path):
+    from fpmash_tpu.cli import main
+    from fpmash_tpu.utils.msh import read_msh
+
+    rc = main(
+        ["sketch", "--direct-fp", str(golden_dir / "cfl" / "DNA3.fasta"),
+         "-o", str(tmp_path / "direct")]
+    )
+    assert rc == 0
+    mine = read_msh(str(tmp_path / "direct.msh"))
+    gold = read_msh(str(golden_dir / "cfl" / "DNA3-sketch.msh"))
+    for m, g in zip(mine.references, gold.references):
+        assert m.name == g.name
+        assert list(map(int, m.hashes32)) == list(map(int, g.hashes32))
+
+
 def test_info_json_roundtrip(golden_dir):
     from fpmash_tpu.utils.info_json import load_info_json, write_info_json
 
