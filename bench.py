@@ -29,7 +29,7 @@ def main() -> int:
 
     WINDOW = 100
     B = 8192  # windows per batch
-    BATCHES = 8
+    BATCHES = 32
 
     rng = np.random.default_rng(0)
     lut = np.frombuffer(b"ACGT", dtype=np.uint8)
@@ -44,7 +44,9 @@ def main() -> int:
         h1, _ = murmur3_u64_batch(fac_len.astype(jnp.uint64), fac_count, seed=42)
         return h1
 
-    # warmup/compile
+    # warmup/compile (twice: the first dispatch after compile pays extra
+    # relay latency in tunneled environments)
+    step(w, l).block_until_ready()
     step(w, l).block_until_ready()
 
     t0 = time.perf_counter()
@@ -58,7 +60,7 @@ def main() -> int:
     from fpmash_tpu.scalar.lyndon import cfl
     from fpmash_tpu.scalar.murmur3 import hash_u64_vector
 
-    sample = ["".join(chr(c) for c in row) for row in windows[:512]]
+    sample = ["".join(chr(c) for c in row) for row in windows[:2048]]
     t0 = time.perf_counter()
     for s in sample:
         fac = cfl(s)
