@@ -58,6 +58,15 @@ def run(args) -> int:
     if not edge:
         out.write(f"\t{n}\n")
     sketch_size = sk.params.sketch_size
+
+    # batched device comparisons for large sets
+    pos_matches = None
+    if args.fingerprint and n >= 64:
+        from fpmash_tpu.ops.compare import all_pairs_positional
+
+        pos_matches, pos_minlen = all_pairs_positional(
+            [r.hashes for r in sk.references]
+        )
     for i in range(n):
         ref = sk.references[i]
         label = ref.comment if args.comment else ref.name
@@ -65,7 +74,20 @@ def run(args) -> int:
             out.write(label)
         for j in range(i):
             other = sk.references[j]
-            if args.fingerprint:
+            if args.fingerprint and pos_matches is not None:
+                from fpmash_tpu.models.distance import PairResult
+                from fpmash_tpu.scalar.stats import chisq_sf
+
+                m = int(pos_matches[i, j])
+                d = int(pos_minlen[i, j])
+                res = PairResult(
+                    numer=m,
+                    denom=d,
+                    distance=1.0 - (m / d) if d else 1.0,
+                    pvalue=chisq_sf(m, 1),
+                )
+                res.passed = res.distance <= max_d and res.pvalue <= max_p
+            elif args.fingerprint:
                 res = compare_fingerprints(ref.hashes, other.hashes, max_d, max_p)
             else:
                 res = compare_sketches(

@@ -144,3 +144,29 @@ def positional_matches(h1: jax.Array, l1: jax.Array, h2: jax.Array, l2: jax.Arra
     idx = jnp.arange(h1.shape[-1], dtype=jnp.int32)
     eq = (h1 == h2) & (idx[None, :] < n[:, None])
     return jnp.sum(eq.astype(jnp.int32), axis=-1), n
+
+
+@partial(jax.jit, static_argnames=())
+def pairwise_positional(hashes: jax.Array, lens: jax.Array):
+    """All-pairs positional matches for one sketch set [N, S]:
+    ``matches[a, b] = sum(h[a, i] == h[b, i], i < min(len_a, len_b))``.
+
+    The padded tail is U64MAX on both sides, which would self-match, so
+    equality is masked by the min-length bound per pair.
+    """
+
+    def one(a, la):
+        n = jnp.minimum(la, lens)  # [N]
+        idx = jnp.arange(hashes.shape[-1], dtype=jnp.int32)
+        eq = (a[None, :] == hashes) & (idx[None, :] < n[:, None])
+        return jnp.sum(eq.astype(jnp.int32), axis=-1), n
+
+    return jax.vmap(one)(hashes, lens)
+
+
+def all_pairs_positional(fingerprint_hashes):
+    """Host wrapper: list of (unsorted) hash arrays -> (matches, minlen)
+    [N, N] for the fingerprint triangle."""
+    h, lens = _pad_batch(fingerprint_hashes)
+    m, n = pairwise_positional(jnp.asarray(h), jnp.asarray(lens))
+    return np.asarray(m), np.asarray(n)
