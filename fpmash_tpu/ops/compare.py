@@ -81,12 +81,13 @@ def _pad_batch(arrays, S=None):
     return out, lens
 
 
-def all_pairs_common_denom(refs, qrys, sketch_size: int, tile: int = 512):
+def all_pairs_common_denom(refs, qrys, sketch_size: int, tile: int = 128):
     """Host wrapper: lists of sorted hash arrays -> (common, denom) [R, Q].
 
     Tiles the pair grid in ``tile x tile`` blocks so the vmapped kernel's
-    per-pair intermediates stay bounded at large scale (10k x 10k sketches
-    stream through as ~400 tiles); tiles reuse one compiled shape.
+    per-pair intermediates stay bounded at large scale (a 128x128 tile at
+    S=1000 keeps the vmapped [tile, tile, S] comparisons ~65 MB); 10k x 10k
+    sketches stream through as ~6.4k tiles reusing one compiled shape.
     """
     S = max(
         max((len(a) for a in refs), default=1),
