@@ -45,13 +45,17 @@ def bottom_k_distinct(hashes: jax.Array, valid: jax.Array, *, s: int, min_cov: i
     x = jnp.sort(x)
     N = x.shape[0]
 
-    is_start = jnp.concatenate([jnp.array([True]), x[1:] != x[:-1]])
-    is_start = is_start & (x != _U64MAX)
+    is_boundary = jnp.concatenate([jnp.array([True]), x[1:] != x[:-1]])
+    is_start = is_boundary & (x != _U64MAX)
 
-    # multiplicity of the run each element belongs to
-    left = jnp.searchsorted(x, x, side="left")
-    right = jnp.searchsorted(x, x, side="right")
-    run_count = (right - left).astype(jnp.uint32)
+    # run length at each start, gather-free: next_boundary[i] = smallest
+    # j > i that begins any run — including the padding run, so the last
+    # real run is not overcounted (reverse cumulative min of masked idx)
+    idx_arr = jnp.arange(N, dtype=jnp.int32)
+    boundary_or_inf = jnp.where(is_boundary, idx_arr, N)
+    nxt = jax.lax.cummin(boundary_or_inf[::-1])[::-1]
+    nxt = jnp.concatenate([nxt[1:], jnp.array([N], jnp.int32)])
+    run_count = jnp.where(is_start, nxt - idx_arr, 0).astype(jnp.uint32)
 
     eligible = is_start & (run_count >= min_cov)
     idx = jnp.nonzero(eligible, size=s, fill_value=N)[0]
