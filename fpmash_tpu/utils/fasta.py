@@ -27,13 +27,30 @@ def _open_text(path: str):
     return open(path)
 
 
-def read_sequences(path: str) -> Iterator[SeqRecord]:
+def read_sequences(path: str, native: bool = True) -> Iterator[SeqRecord]:
     """Stream records from a FASTA or FASTQ file (optionally .gz).
 
     FASTA: ``>name comment`` header, multi-line sequence.
     FASTQ: 4-line records ``@name comment / seq / + / qual``.
     Format is sniffed from the first non-empty character, like kseq.
+
+    Uses the native C++ batch parser when available (non-gz inputs); the
+    two parsers are asserted equivalent in tests.
     """
+    if native and not path.endswith(".gz"):
+        try:
+            from fpmash_tpu.utils.native import parse_seq_file
+
+            parsed = parse_seq_file(path)
+        except Exception:
+            parsed = None
+        if parsed is not None:
+            names, comments, blob, offsets = parsed
+            text = blob.decode("ascii", "replace")
+            for i, name in enumerate(names):
+                yield SeqRecord(name, comments[i], text[offsets[i] : offsets[i + 1]])
+            return
+
     with _open_text(path) as fh:
         first = fh.read(1)
         while first in ("\n", "\r", " "):

@@ -170,9 +170,9 @@ void* fpio_parse_seq(const char* path) {
       p++;  // skip '>'
       const char* eol = static_cast<const char*>(memchr(p, '\n', end - p));
       if (!eol) eol = end;
-      const char* hend = eol;
-      if (hend > p && hend[-1] == '\r') hend--;
-      emit_header(p, hend);
+      // keep a trailing \r in the header (kseq does; sketch comments
+      // containing \r are byte-compatible with the reference)
+      emit_header(p, eol);
       p = (eol < end) ? eol + 1 : end;
       // sequence lines until next '>'
       while (p < end && *p != fasta_marker) {
@@ -191,9 +191,7 @@ void* fpio_parse_seq(const char* path) {
       p++;
       const char* eol = static_cast<const char*>(memchr(p, '\n', end - p));
       if (!eol) eol = end;
-      const char* hend = eol;
-      if (hend > p && hend[-1] == '\r') hend--;
-      emit_header(p, hend);
+      emit_header(p, eol);
       p = (eol < end) ? eol + 1 : end;
       // sequence line
       const char* seol = static_cast<const char*>(memchr(p, '\n', end - p));
