@@ -566,15 +566,12 @@ def _kmer_hash_pool(seqs: list[str], p: SketchParams, backend: str) -> np.ndarra
 
     import jax.numpy as jnp
 
-    from fpmash_tpu.ops.kmers import alphabet_mask, complement_table, kmer_hashes
+    from fpmash_tpu.ops.kmers import kmer_hashes
 
     k = p.kmer_size
     sep = b"\x00" * (k - 1)
     blob = sep.join(s.encode("ascii", "replace") if isinstance(s, str) else bytes(s) for s in seqs)
     n = len(blob)
-
-    amask = jnp.asarray(alphabet_mask(p.alphabet))
-    ctab = jnp.asarray(complement_table())
 
     # Process in fixed-size chunks (overlapped by k-1) so only a handful of
     # shapes ever compile, regardless of input size.  XLA:CPU codegen time
@@ -593,8 +590,7 @@ def _kmer_hash_pool(seqs: list[str], p: SketchParams, backend: str) -> np.ndarra
         h, valid = kmer_hashes(
             jnp.asarray(buf),
             jnp.int32(end - pos),
-            amask,
-            ctab,
+            alphabet=p.alphabet,
             k=k,
             noncanonical=p.noncanonical,
             preserve_case=p.preserve_case,

@@ -46,13 +46,15 @@ def alphabet_mask(alphabet: str) -> np.ndarray:
     return mask
 
 
-@partial(jax.jit, static_argnames=("k", "noncanonical", "preserve_case", "seed", "use64"))
+@partial(
+    jax.jit,
+    static_argnames=("alphabet", "k", "noncanonical", "preserve_case", "seed", "use64"),
+)
 def kmer_hashes(
     seq: jax.Array,
     length: jax.Array,
-    alpha_mask: jax.Array,
-    comp_table: jax.Array,
     *,
+    alphabet: str = "ACGT",
     k: int,
     noncanonical: bool = False,
     preserve_case: bool = False,
@@ -75,7 +77,12 @@ def kmer_hashes(
         lower = (seq > 96) & (seq < 123)
         seq = jnp.where(lower, seq - 32, seq)
 
-    valid_char = alpha_mask[seq.astype(jnp.int32)]
+    # gather-free table lookups: XLA gathers scalarize on TPU, so the
+    # 256-entry alphabet/complement tables are applied as short select
+    # chains over the (few) characters they actually affect
+    valid_char = jnp.zeros(seq.shape, bool)
+    for ch in sorted(set(alphabet)):
+        valid_char = valid_char | (seq == jnp.uint8(ord(ch)))
 
     # windows[i, j] = seq[i + j]
     windows = jnp.stack([jnp.roll(seq, -j) for j in range(k)], axis=1)
@@ -86,7 +93,11 @@ def kmer_hashes(
 
     if not noncanonical:
         # reverse complement of each window, then memcmp-min selection
-        rc = comp_table[windows.astype(jnp.int32)][:, ::-1]
+        ctab_np = complement_table()
+        rc = windows
+        for c in np.nonzero(ctab_np != np.arange(256, dtype=np.uint8))[0]:
+            rc = jnp.where(windows == jnp.uint8(c), jnp.uint8(ctab_np[c]), rc)
+        rc = rc[:, ::-1]
         # big-endian pack for lexicographic comparison, 8 bytes at a time
         def pack_be(w):
             pad = (-k) % 8
