@@ -308,8 +308,34 @@ class Sketch:
                 count += 1
                 total_len += len(seq)
                 pools.append(seq)
-            hashes = _kmer_hash_pool(pools, p, backend)
-            values, counts = _bottom_k(hashes, p, backend)
+            if p.reads and p.target_cov > 0:
+                # adaptive stop at target coverage (sketchFile,
+                # Sketch.cpp:1410-1414): hash reads in chunks, re-estimate
+                # mean multiplicity of the kept sketch after each chunk,
+                # and stop consuming input once it reaches target_cov.
+                from fpmash_tpu.ops.bottomk import estimate_multiplicity
+
+                hashes = np.zeros(0, np.uint64)
+                values = np.zeros(0, np.uint64)
+                counts = np.zeros(0, np.uint32)
+                used = 0
+                CHUNK_READS = 256
+                while used < len(pools):
+                    chunk = pools[used : used + CHUNK_READS]
+                    used += len(chunk)
+                    hashes = np.concatenate(
+                        [hashes, _kmer_hash_pool(chunk, p, backend)]
+                    )
+                    values, counts = _bottom_k(hashes, p, backend)
+                    if (
+                        len(values) >= p.sketch_size
+                        and estimate_multiplicity(counts) >= p.target_cov
+                    ):
+                        break
+                count = used
+            else:
+                hashes = _kmer_hash_pool(pools, p, backend)
+                values, counts = _bottom_k(hashes, p, backend)
             if p.reads:
                 # reads mode stores the cardinality estimate as "length"
                 # (sketchFile, Sketch.cpp:1425-1436): genome size if given,
