@@ -42,7 +42,12 @@ def bottom_k_distinct(hashes: jax.Array, valid: jax.Array, *, s: int, min_cov: i
     ``n`` slots are meaningful; unused slots hold U64MAX/0.
     """
     x = jnp.where(valid, hashes.astype(jnp.uint64), _U64MAX)
-    x = jnp.sort(x)
+    # sort as two native u32 keys (hi, lo) — lexicographic == u64 order —
+    # instead of an emulated-u64 comparator
+    hi = (x >> jnp.uint64(32)).astype(jnp.uint32)
+    lo = (x & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+    hi, lo = jax.lax.sort((hi, lo), num_keys=2)
+    x = (hi.astype(jnp.uint64) << jnp.uint64(32)) | lo.astype(jnp.uint64)
     N = x.shape[0]
 
     is_boundary = jnp.concatenate([jnp.array([True]), x[1:] != x[:-1]])

@@ -92,11 +92,15 @@ def kmer_hashes(
     valid = jnp.all(valid_win, axis=1) & in_range
 
     if not noncanonical:
-        # reverse complement of each window, then memcmp-min selection
+        # reverse complement of each window, then memcmp-min selection.
+        # Only alphabet characters need mapping: windows containing any
+        # other character are invalid and never emitted.
         ctab_np = complement_table()
         rc = windows
-        for c in np.nonzero(ctab_np != np.arange(256, dtype=np.uint8))[0]:
-            rc = jnp.where(windows == jnp.uint8(c), jnp.uint8(ctab_np[c]), rc)
+        for ch in sorted(set(alphabet)):
+            c = ord(ch)
+            if ctab_np[c] != c:
+                rc = jnp.where(windows == jnp.uint8(c), jnp.uint8(ctab_np[c]), rc)
         rc = rc[:, ::-1]
         # big-endian pack for lexicographic comparison, 8 bytes at a time
         def pack_be(w):
