@@ -56,7 +56,10 @@ def main(argv: list[str] | None = None) -> int:
     if not getattr(args, "func", None):
         parser.print_help()
         return 0
-    return args.func(args)
+    from fpmash_tpu.utils.trace import trace
+
+    with trace(f"command:{args.command}"):
+        return args.func(args)
 
 
 if __name__ == "__main__":

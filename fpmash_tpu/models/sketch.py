@@ -24,6 +24,8 @@ from dataclasses import dataclass, field, replace
 
 import numpy as np
 
+from fpmash_tpu.utils.trace import trace
+
 #: global fingerprint line cap across all files (Sketch.cpp:37,82)
 LIMIT_READ_FINGERPRINT = 1_000_000
 
@@ -135,7 +137,8 @@ class Sketch:
 
         # hash all lines in one device batch
         all_vecs = [v for _, vecs in groups for v in vecs]
-        hashes = _hash_u64_vectors(all_vecs, p.seed, p.use64, backend)
+        with trace("fingerprint-hash", lines=len(all_vecs)):
+            hashes = _hash_u64_vectors(all_vecs, p.seed, p.use64, backend)
 
         pos = 0
         for rid, vecs in groups:
@@ -250,8 +253,9 @@ class Sketch:
             counts.append(max(take, 0))
             row_ptr += max(take, 0)
 
-        fac_len, fac_count = cfl_lengths_onehot(jnp.asarray(batch), jnp.asarray(lengths))
-        h1, _ = murmur3_u64_batch(fac_len.astype(jnp.uint64), fac_count, seed=p.seed)
+        with trace("factorize+hash", windows=row_ptr):
+            fac_len, fac_count = cfl_lengths_onehot(jnp.asarray(batch), jnp.asarray(lengths))
+            h1, _ = murmur3_u64_batch(fac_len.astype(jnp.uint64), fac_count, seed=p.seed)
         h1 = np.asarray(h1)[:row_ptr]
         if not p.use64:
             h1 = h1 & np.uint64(0xFFFFFFFF)
@@ -334,8 +338,10 @@ class Sketch:
                         break
                 count = used
             else:
-                hashes = _kmer_hash_pool(pools, p, backend)
-                values, counts = _bottom_k(hashes, p, backend)
+                with trace("kmer-hash", bases=total_len):
+                    hashes = _kmer_hash_pool(pools, p, backend)
+                with trace("bottom-k", pool=len(hashes)):
+                    values, counts = _bottom_k(hashes, p, backend)
             if p.reads:
                 # reads mode stores the cardinality estimate as "length"
                 # (sketchFile, Sketch.cpp:1425-1436): genome size if given,
