@@ -34,6 +34,11 @@ def add_sketch_options(parser: argparse.ArgumentParser, windowed: bool = False) 
     g.add_argument("-z", "--alphabet", type=str, default=None, help="Alphabet to base hashes on (case ignored by default). Implies -n.")
     g.add_argument("-Z", "--preserve-case", action="store_true", help="Preserve case in k-mers and alphabets.")
     g.add_argument("-p", "--threads", type=int, default=1, help="Parallelism (kept for interface parity; device batching supersedes it).")
+    # windowed ("minmer") sketching — gated behind COMMAND_FIND in the
+    # reference's default build (sketchParameterSetup.cpp:20-24); always
+    # available here. Same identifiers/defaults (Command.cpp:186-188).
+    g.add_argument("-W", "--windowed", action="store_true", help="Windowed: store hashes that are minima in any window of -L size, with their positions (.msw output).")
+    g.add_argument("-L", "--window", type=int, default=10000, help="Window length for -W. Hashes that are minima in any window of this size will be stored. [10000]")
 
 
 def parse_size(text: str | None) -> int:
@@ -77,6 +82,10 @@ def sketch_params_from_args(args, fingerprint: bool = False) -> SketchParams:
         print("ERROR: The option -i cannot be used with -r.", file=sys.stderr)
         raise SystemExit(1)
     p = _set(p, preserve_case=args.preserve_case)
+    if getattr(args, "windowed", False):
+        # COMMAND_FIND builds force per-sequence references
+        # (sketchParameterSetup.cpp:20-24: concatenated = false)
+        p = _set(p, windowed=True, window_size=args.window, concatenated=False)
 
     if fingerprint:
         # fingerprint-mode override (sketchParameterSetup.cpp:78-84)

@@ -69,7 +69,9 @@ def run(args) -> int:
     sketch._create_index()
 
     prefix = args.prefix or (args.inputs[0] if args.inputs[0] != "-" else "stdin")
-    out = prefix if prefix.endswith(".msh") else prefix + ".msh"
+    # windowed sketches use the .msw suffix (CommandSketch.cpp:112-115)
+    suffix = ".msw" if params.windowed else ".msh"
+    out = prefix if prefix.endswith(suffix) else prefix + suffix
     print(f"Writing to {out}...", file=sys.stderr)
     sketch.write_msh(out)
     return 0

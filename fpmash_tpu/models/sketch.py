@@ -49,6 +49,7 @@ class SketchParams:
     target_cov: float = 0.0
     counts: bool = False
     fingerprint: bool = False
+    windowed: bool = False
 
     @property
     def use64(self) -> bool:
@@ -87,6 +88,9 @@ class Sketch:
         self.params = params or SketchParams()
         self.references: list[Reference] = []
         self._index_by_id: dict[str, int] = {}
+        #: windowed-mode loci: (reference index, position, hash64)
+        self.loci: list[tuple[int, int, int]] = []
+        self._loci_by_hash: dict[int, list[tuple[int, int]]] = {}
 
     # ------------------------------------------------------------------ #
     # fingerprint path
@@ -298,6 +302,35 @@ class Sketch:
         (``-i`` individual / per-sequence mode, sketchFileBySequence).
         """
         p = self.params
+        if p.windowed:
+            # windowed ("minmer") mode (sketchSequence, Sketch.cpp:1504-1507):
+            # one reference per record, loci instead of a bottom-k hash list.
+            # COMMAND_FIND builds force concatenated=false
+            # (sketchParameterSetup.cpp:20-24), so merge never applies.
+            from fpmash_tpu.ops.winnow import minmer_positions
+
+            for rname, rcomment, seq in records:
+                if len(seq) < p.kmer_size:
+                    continue
+                ref_idx = len(self.references)
+                ph = _position_hashes(seq, p, backend)
+                ws = min(p.window_size, len(ph))  # clamp (Sketch.cpp:748-751)
+                positions, phashes = minmer_positions(
+                    ph, ws, p.sketch_size, backend=backend
+                )
+                self.references.append(
+                    Reference(
+                        name=name or rname,
+                        comment=comment or rcomment,
+                        length=len(seq),
+                    )
+                )
+                self.loci.extend(
+                    (ref_idx, int(pos), int(h))
+                    for pos, h in zip(positions, phashes)
+                )
+            self._create_index()
+            return
         if merge:
             records = list(records)
             pools = []
@@ -404,11 +437,13 @@ class Sketch:
         from fpmash_tpu.utils.fasta import read_sequences
 
         for path in files:
-            if path.endswith(".msh"):
+            # suffix selects sketch inputs; .msw in windowed mode
+            # (Sketch.cpp:257)
+            if path.endswith(".msw" if self.params.windowed else ".msh"):
                 self.load_msh(path)
                 continue
             records = list(read_sequences(path))
-            if individual:
+            if individual or self.params.windowed:
                 self.init_from_sequences(records, backend=backend)
             else:
                 # concatenated: reference named after the file path as given
@@ -455,7 +490,10 @@ class Sketch:
             concatenated=m.concatenated,
             error=m.error,
             window_size=m.window_size,
+            windowed=bool(m.loci) or m.window_size > 0,
         )
+        base = len(self.references)
+        self.loci.extend((base + int(s), int(pos), int(h)) for s, pos, h in m.loci)
         cap = self.params.sketch_size
         for r in m.references:
             if self.params.use64:
@@ -509,15 +547,24 @@ class Sketch:
             if r.counts is not None and p.counts:
                 mr.counts32 = np.asarray(r.counts, np.uint32)
             m.references.append(mr)
+        m.loci = list(self.loci)
         write_msh(path, m)
 
     # ------------------------------------------------------------------ #
 
     def _create_index(self) -> None:
         self._index_by_id = {r.name: i for i, r in enumerate(self.references)}
+        # hash -> [(reference index, position)] (createIndex, Sketch.cpp:644-662)
+        self._loci_by_hash = {}
+        for seq_idx, pos, h in self.loci:
+            self._loci_by_hash.setdefault(h, []).append((seq_idx, pos))
+
+    def loci_by_hash(self, h: int) -> list[tuple[int, int]]:
+        return self._loci_by_hash.get(int(h), [])
 
     def reference_index(self, name: str) -> int:
-        return self._index_by_id[name]
+        """Index of reference ``name``, or -1 (Sketch.cpp:189-200)."""
+        return self._index_by_id.get(name, -1)
 
     def __len__(self) -> int:
         return len(self.references)
@@ -636,6 +683,62 @@ def _kmer_hash_pool(seqs: list[str], p: SketchParams, backend: str) -> np.ndarra
         pools.append(np.asarray(h)[valid])
         pos += step
     out = np.concatenate(pools)
+    if not p.use64:
+        out = out & np.uint64(0xFFFFFFFF)
+    return out
+
+
+def _position_hashes(seq: str, p: SketchParams, backend: str) -> np.ndarray:
+    """Hash of the k-mer at every start position of ``seq``, in order.
+
+    Matches getMinHashPositions' hashing (Sketch.cpp:837): raw bytes as-is
+    — no case folding, no canonical strand selection, and no alphabet
+    filtering (the invalid-k-mer skip is commented out in the reference).
+    With 32-bit parameters the reference reads the union's ``hash64`` field
+    after only ``hash32`` was set (UB); we use the zero-extended 32-bit
+    hash, which is the common in-practice value and deterministic.
+    """
+    k = p.kmer_size
+    b = seq.encode("ascii", "replace") if isinstance(seq, str) else bytes(seq)
+    n = len(b)
+    if n < k:
+        return np.zeros(0, np.uint64)
+    if backend == "scalar" or (backend == "auto" and n < 4096):
+        from fpmash_tpu.scalar.murmur3 import hash_bytes
+
+        out = np.array(
+            [hash_bytes(b[i : i + k], seed=p.seed, use64=True) for i in range(n - k + 1)],
+            np.uint64,
+        )
+    else:
+        import jax
+        import jax.numpy as jnp
+
+        from fpmash_tpu.ops.kmers import kmer_hashes
+
+        CHUNK = (1 << 15) if jax.default_backend() == "cpu" else (1 << 22)
+        size = CHUNK if n > (CHUNK >> 2) else _round_up_pow2(n, 4096)
+        step = size - (k - 1)
+        parts = []
+        pos = 0
+        while pos < n:
+            end = min(pos + size, n)
+            buf = np.zeros(size, np.uint8)
+            buf[: end - pos] = np.frombuffer(b[pos:end], np.uint8)
+            h, _ = kmer_hashes(
+                jnp.asarray(buf),
+                jnp.int32(end - pos),
+                alphabet=p.alphabet,
+                k=k,
+                noncanonical=True,
+                preserve_case=True,
+                seed=p.seed,
+                use64=True,
+            )
+            keep = min(step, end - pos - k + 1)
+            parts.append(np.asarray(h)[:keep])
+            pos += step
+        out = np.concatenate(parts)[: n - k + 1]
     if not p.use64:
         out = out & np.uint64(0xFFFFFFFF)
     return out
