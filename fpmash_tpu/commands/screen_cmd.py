@@ -82,14 +82,26 @@ def run(args) -> int:
 
 def _run_streaming(args, ref: Sketch, hash_table) -> int:
     """Upstream semantics: stream all query k-mers; report per reference."""
-    p = ref.params
+    from fpmash_tpu.commands.common import ALPHABET_PROTEIN
     from fpmash_tpu.utils.fasta import read_sequences
+
+    p = ref.params
+    # amino-acid sketch + nucleotide mixture: 6-frame translate each
+    # mixture sequence (upstream screen; hashSequence CommandScreen.cpp:311-376)
+    trans = p.alphabet == ALPHABET_PROTEIN
+    if trans:
+        print("Translating from nucleotides...", file=sys.stderr)
 
     seqs = []
     for path in expand_inputs(args.queries, False):
         for rec in read_sequences(path):
             if len(rec.seq) >= p.kmer_size:
-                seqs.append(rec.seq)
+                if trans:
+                    from fpmash_tpu.utils.codon import six_frame_translations
+
+                    seqs.extend(six_frame_translations(rec.seq, p.preserve_case))
+                else:
+                    seqs.append(rec.seq)
     pool = _kmer_hash_pool(seqs, p, args.backend)
     pool = np.asarray(pool, np.uint64)
 
