@@ -6,6 +6,13 @@ MurmurHash3 over the factor-length vectors, i.e. one fingerprint hash per
 pipeline (lyn2vec's per-window Python Duval + hash — the reference's
 fingerprint front-end is pure Python, lyn2vec.py:40).
 
+Timing methodology: N dependent iterations are chained inside ONE jitted
+``lax.scan`` (each iteration's input is derived from the previous
+iteration's output), and the scalar result is fetched to the host.  This
+is required on tunneled/relayed devices, where enqueueing N independent
+calls and blocking on the last one does NOT serialize them and wildly
+overstates throughput.
+
 Prints ONE JSON line:
   {"metric": "sketched_bases_per_s", "value": N, "unit": "bases/s",
    "vs_baseline": device_over_cpu_ratio}
@@ -28,8 +35,8 @@ def main() -> int:
     from fpmash_tpu.ops.murmur3 import murmur3_u64_batch
 
     WINDOW = 100
-    B = 8192  # windows per batch
-    BATCHES = 32
+    B = 131072  # windows per batch
+    N = 16  # chained iterations inside one dispatch
 
     rng = np.random.default_rng(0)
     lut = np.frombuffer(b"ACGT", dtype=np.uint8)
@@ -39,22 +46,24 @@ def main() -> int:
     l = jnp.asarray(lengths)
 
     @jax.jit
-    def step(w, l):
-        fac_len, fac_count = cfl_lengths(w, l)
-        h1, _ = murmur3_u64_batch(fac_len.astype(jnp.uint64), fac_count, seed=42)
-        return h1
+    def bench(w, l):
+        def body(carry, _):
+            wv = w ^ carry.astype(jnp.uint8)  # data dependency on prev iter
+            fac_len, fac_count = cfl_lengths(wv, l)
+            h1, _ = murmur3_u64_batch(fac_len.astype(jnp.uint64), fac_count, seed=42)
+            return (h1[0] & jnp.uint64(1)).astype(jnp.int32), h1.sum()
+        _, sums = jax.lax.scan(body, jnp.int32(0), None, length=N)
+        return sums
 
-    # warmup/compile (twice: the first dispatch after compile pays extra
-    # relay latency in tunneled environments)
-    step(w, l).block_until_ready()
-    step(w, l).block_until_ready()
+    # warmup/compile
+    jax.block_until_ready(bench(w, l))
 
-    t0 = time.perf_counter()
-    for _ in range(BATCHES):
-        out = step(w, l)
-    out.block_until_ready()
-    device_s = time.perf_counter() - t0
-    device_bases_per_s = B * BATCHES * WINDOW / device_s
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.device_get(bench(w, l))  # full fetch guarantees completion
+        best = min(best, time.perf_counter() - t0)
+    device_bases_per_s = B * N * WINDOW / best
 
     # scalar CPU baseline (reference-equivalent Python front-end) on a sample
     from fpmash_tpu.scalar.lyndon import cfl

@@ -213,12 +213,15 @@ def cfl_lengths_onehot(batch: jax.Array, lengths: jax.Array):
         sh = (col.astype(jnp.uint32) & jnp.uint32(3)) * jnp.uint32(8)
         return ((word >> sh) & jnp.uint32(0xFF)).astype(jnp.int32)
 
-    def cond(state):
-        t, i, j, k, emitting, words = state
-        return (t < max_steps) & jnp.any(i < n)
+    # Automaton steps are applied UNROLL at a time inside each while
+    # iteration: a step is a masked state transition (finished rows are
+    # no-ops), so over-stepping is harmless, and the loop's fixed per-
+    # iteration sequencing overhead — which dominates at these tiny state
+    # sizes — is amortized UNROLL-fold.
+    UNROLL = 8
 
-    def body(state):
-        t, i, j, k, emitting, words = state
+    def substep(state):
+        i, j, k, emitting, words = state
         s_k = sel(k)
         s_j = sel(jnp.minimum(j, L - 1))
         done = i >= n
@@ -243,7 +246,19 @@ def cfl_lengths_onehot(batch: jax.Array, lengths: jax.Array):
         j_next = jnp.where(scanning, jnp.where(can_extend, j + 1, j), jnp.where(done, j, j_emit))
         k_next = jnp.where(scanning, jnp.where(can_extend, k_scan, k), jnp.where(done, k, k_emit))
         emitting_next = jnp.where(scanning, ~can_extend, jnp.where(done, emitting, emit_now))
-        return (t + 1, i_next, j_next, k_next, emitting_next, words)
+        return (i_next, j_next, k_next, emitting_next, words)
+
+    def cond(state):
+        t, i, j, k, emitting, words = state
+        return (t < max_steps) & jnp.any(i < n)
+
+    def body(state):
+        t, i, j, k, emitting, words = state
+        inner = (i, j, k, emitting, words)
+        for _ in range(UNROLL):
+            inner = substep(inner)
+        i, j, k, emitting, words = inner
+        return (t + UNROLL, i, j, k, emitting, words)
 
     zeros = jnp.zeros((B,), jnp.int32)
     init = (
@@ -262,6 +277,64 @@ def cfl_lengths_onehot(batch: jax.Array, lengths: jax.Array):
     boundary = boundary & in_row
 
     bpos = jnp.where(boundary, iota, L)
+    bpos = jnp.sort(bpos, axis=-1)
+    nxt = jnp.concatenate([bpos[:, 1:], jnp.full((B, 1), L, jnp.int32)], axis=1)
+    fac_len = jnp.maximum(jnp.minimum(nxt, n[:, None]) - jnp.minimum(bpos, n[:, None]), 0)
+    fac_count = jnp.sum(boundary, axis=-1, dtype=jnp.int32)
+    return fac_len, fac_count
+
+
+@partial(jax.jit, static_argnames=())
+def cfl_lengths_cmp(batch: jax.Array, lengths: jax.Array):
+    """Duval boundaries as one dense shift-compare pass — no sequential loop.
+
+    Uses the same suffix characterization as :func:`cfl_lengths_sa`
+    (a CFL factor starts at ``p`` iff suffix ``p`` is lexicographically
+    smaller than every suffix starting before it), but resolves all the
+    suffix comparisons directly instead of building ranks:
+
+    * ``cmp[d, j] = sign(s[j-d] - s[j])`` for every shift ``d`` — built
+      from ``L`` statically-shifted copies of the (0-sentinel-padded) row;
+    * ``suffix_p < suffix_{p-d}`` iff the first ``j >= p`` with
+      ``cmp[d, j] != 0`` has ``cmp > 0``.  The "first mismatch sign" is
+      one reversed ``cummin`` over ``2*j + (cmp > 0)`` (smaller ``j``
+      wins; the parity of the min is the sign at the first mismatch);
+    * ``boundary[p] = AND over 1 <= d <= p`` — a plain reduction.
+
+    Everything is dense, regular, gather-free elementwise work on
+    ``[B, L, L+1]`` tiles — the formulation trades O(L) extra FLOPs per
+    base for the removal of the ``while_loop``'s per-step dispatch and
+    its serial latency, which is what actually bounds
+    :func:`cfl_lengths_onehot` on small windows.
+    """
+    n = lengths.astype(jnp.int32)
+    B, L = batch.shape
+    LP = L + 1  # one sentinel column so end-of-row mismatches stay in range
+
+    iota_row = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
+    in_row = iota_row < n[:, None]
+    s = jnp.where(in_row, batch.astype(jnp.int16), 0)
+    s = jnp.pad(s, ((0, 0), (0, 1)))  # [B, LP], trailing sentinel
+
+    # Sd[b, d, j] = s[b, j - d] (zero-filled), d = 0..L-1
+    Sd = jnp.stack(
+        [jnp.pad(s[:, : LP - d], ((0, 0), (d, 0))) for d in range(L)], axis=1
+    )  # [B, L, LP]
+    cmp = Sd - s[:, None, :]  # sign: >0 -> s[j-d] > s[j]
+
+    jiota = jax.lax.broadcasted_iota(jnp.int32, (B, L, LP), 2)
+    BIG = jnp.int32(2 * LP + 2)
+    val = jnp.where(cmp != 0, 2 * jiota + (cmp > 0), BIG)
+    first = jax.lax.cummin(val, axis=2, reverse=True)  # first mismatch from j
+    less = (first & 1) == 1  # sign at first mismatch > 0 => suffix_p smaller
+
+    diota = jax.lax.broadcasted_iota(jnp.int32, (B, L, L), 1)
+    piota = jax.lax.broadcasted_iota(jnp.int32, (B, L, L), 2)
+    consider = (diota >= 1) & (diota <= piota)
+    ok = less[:, :, :L] | ~consider
+    boundary = jnp.all(ok, axis=1) & in_row
+
+    bpos = jnp.where(boundary, iota_row, L)
     bpos = jnp.sort(bpos, axis=-1)
     nxt = jnp.concatenate([bpos[:, 1:], jnp.full((B, 1), L, jnp.int32)], axis=1)
     fac_len = jnp.maximum(jnp.minimum(nxt, n[:, None]) - jnp.minimum(bpos, n[:, None]), 0)
@@ -289,6 +362,7 @@ def cfl_lengths_host(windows, kernel: str = "onehot") -> list[list[int]]:
         "sa": cfl_lengths_sa,
         "onehot": cfl_lengths_onehot,
         "scan": cfl_lengths,
+        "cmp": cfl_lengths_cmp,
     }[kernel]
     fac_len, fac_count = jax.device_get(fn(jnp.asarray(arr), jnp.asarray(lens)))
     return [list(map(int, fac_len[b, : fac_count[b]])) for b in range(len(windows))]

@@ -105,19 +105,26 @@ def murmur3_u64_batch(vals: jax.Array, counts: jax.Array, seed: int = 42):
     h1 = jnp.full((B,), seed64)
     h2 = jnp.full((B,), seed64)
 
-    # Scan over block pairs: xs[i] = (k1[B], k2[B]) for block i.
+    # Iterate block pairs only up to the *batch's* maximum block count —
+    # fingerprint vectors are short (a handful of Lyndon factors per
+    # window), so this typically runs a few iterations instead of L/2.
     pairs = vals.reshape(B, L // 2, 2).transpose(1, 2, 0)  # [L/2, 2, B]
+    max_blocks = jnp.max(nblocks)
 
-    def step(carry, xs):
-        h1, h2, i = carry
-        k1, k2 = xs[0], xs[1]
-        n1, n2 = _block_update(h1, h2, k1, k2)
+    def cond(state):
+        h1, h2, i = state
+        return i < max_blocks
+
+    def body(state):
+        h1, h2, i = state
+        xs = jax.lax.dynamic_index_in_dim(pairs, i, axis=0, keepdims=False)
+        n1, n2 = _block_update(h1, h2, xs[0], xs[1])
         full = i < nblocks
         h1 = jnp.where(full, n1, h1)
         h2 = jnp.where(full, n2, h2)
-        return (h1, h2, i + 1), None
+        return (h1, h2, i + 1)
 
-    (h1, h2, _), _ = jax.lax.scan(step, (h1, h2, jnp.int32(0)), pairs)
+    h1, h2, _ = jax.lax.while_loop(cond, body, (h1, h2, jnp.int32(0)))
 
     # Odd tail: exactly one u64 (8 bytes), mixed into k1 only.
     has_tail = (counts % 2) == 1

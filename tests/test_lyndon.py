@@ -75,7 +75,7 @@ def test_reverse_complement():
     assert reverse_complement("N") == "N"
 
 
-@pytest.mark.parametrize("kernel", ["scan", "sa", "onehot", "pallas"])
+@pytest.mark.parametrize("kernel", ["scan", "sa", "onehot", "cmp", "pallas"])
 def test_device_duval_matches_scalar(kernel):
     import jax
     import jax.numpy as jnp
@@ -93,7 +93,7 @@ def test_device_duval_matches_scalar(kernel):
             cfl_lengths_pallas(jnp.asarray(arr), jnp.asarray(lens), interpret=True)
         )
     else:
-        fn = {"scan": lyn.cfl_lengths, "sa": lyn.cfl_lengths_sa, "onehot": lyn.cfl_lengths_onehot}[kernel]
+        fn = {"scan": lyn.cfl_lengths, "sa": lyn.cfl_lengths_sa, "onehot": lyn.cfl_lengths_onehot, "cmp": lyn.cfl_lengths_cmp}[kernel]
         fl, fc = jax.device_get(fn(jnp.asarray(arr), jnp.asarray(lens)))
     for i, w in enumerate(words):
         assert list(map(int, fl[i, : fc[i]])) == [len(f) for f in cfl(w)], w
