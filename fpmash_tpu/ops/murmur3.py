@@ -111,18 +111,23 @@ def murmur3_u64_batch(vals: jax.Array, counts: jax.Array, seed: int = 42):
     pairs = vals.reshape(B, L // 2, 2).transpose(1, 2, 0)  # [L/2, 2, B]
     max_blocks = jnp.max(nblocks)
 
+    UNROLL = 2  # blocks per loop iteration (masked, so over-stepping is safe)
+
     def cond(state):
         h1, h2, i = state
         return i < max_blocks
 
     def body(state):
         h1, h2, i = state
-        xs = jax.lax.dynamic_index_in_dim(pairs, i, axis=0, keepdims=False)
-        n1, n2 = _block_update(h1, h2, xs[0], xs[1])
-        full = i < nblocks
-        h1 = jnp.where(full, n1, h1)
-        h2 = jnp.where(full, n2, h2)
-        return (h1, h2, i + 1)
+        for u in range(UNROLL):
+            xs = jax.lax.dynamic_index_in_dim(
+                pairs, jnp.minimum(i + u, L // 2 - 1), axis=0, keepdims=False
+            )
+            n1, n2 = _block_update(h1, h2, xs[0], xs[1])
+            full = (i + u) < nblocks
+            h1 = jnp.where(full, n1, h1)
+            h2 = jnp.where(full, n2, h2)
+        return (h1, h2, i + UNROLL)
 
     h1, h2, _ = jax.lax.while_loop(cond, body, (h1, h2, jnp.int32(0)))
 

@@ -22,6 +22,10 @@ class SeqRecord(NamedTuple):
 
 
 def _open_text(path: str):
+    if path == "-":  # stdin, like the reference's gzdopen(fileno(stdin))
+        import sys
+
+        return io.StringIO(sys.stdin.read())
     if path.endswith(".gz"):
         return io.TextIOWrapper(gzip.open(path, "rb"))
     return open(path)
@@ -37,7 +41,7 @@ def read_sequences(path: str, native: bool = True) -> Iterator[SeqRecord]:
     Uses the native C++ batch parser when available (non-gz inputs); the
     two parsers are asserted equivalent in tests.
     """
-    if native and not path.endswith(".gz"):
+    if native and path != "-" and not path.endswith(".gz"):
         try:
             from fpmash_tpu.utils.native import parse_seq_file
 
