@@ -1,0 +1,281 @@
+"""Fused fingerprint kernel: Duval factorization + MurmurHash3 in one pass.
+
+The production ``sketch -fp`` hot path is window -> CFL factor lengths ->
+MurmurHash3_x64_128 of the u64 length vector.  The XLA pipeline runs these
+as two kernels with an HBM round-trip for the ``[B, L]`` length matrix and
+keeps all per-row automaton state in ``[B, 1]`` vectors — on the VPU's
+8x128 registers that wastes 128x of each op's lanes.
+
+This Pallas kernel fuses the whole pipe in VMEM with the batch TRANSPOSED:
+strings live as ``[L, R]`` tiles (windows along lanes), so every per-row
+state vector is ``[1, R]`` — full lane utilization — and character
+selection is a masked reduction over the sublane axis.  Factor lengths are
+never materialized: each EMIT step of the Duval automaton feeds its factor
+length straight into the row's running MurmurHash3 state (64-bit arithmetic
+hand-built from u32 pairs, since Mosaic has no native 64-bit vectors).
+
+Semantics: identical to ``cfl_lengths_onehot`` + ``murmur3_u64_batch``
+(asserted in tests, CPU interpret mode and on-chip).  Reference chain:
+lyn2vec factorizations.py:102 (Duval) -> fingerprint line ->
+getHashFingerPrint (hash.cpp:45-73).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+ROW_BLOCK = 512  # windows per grid step (lanes)
+
+# MurmurHash3_x64_128 constants as (lo32, hi32)
+_C1 = (0x114253D5, 0x87C37B91)
+_C2 = (0x2745937F, 0x4CF5AD43)
+_F1 = (0xED558CCD, 0xFF51AFD7)
+_F2 = (0x1A85EC53, 0xC4CEB9FE)
+_A1 = 0x52DCE729
+_A2 = 0x38495AB5
+
+
+def _u32(x):
+    return jnp.uint32(x)
+
+
+def _mul32_64(a, b_lo: int):
+    """u32 vector a times u32 constant -> (lo32, hi32) of the 64-bit product."""
+    b0 = b_lo & 0xFFFF
+    b1 = (b_lo >> 16) & 0xFFFF
+    a0 = a & _u32(0xFFFF)
+    a1 = a >> _u32(16)
+    ll = a0 * _u32(b0)
+    lh = a0 * _u32(b1)
+    hl = a1 * _u32(b0)
+    hh = a1 * _u32(b1)
+    mid = (ll >> _u32(16)) + (lh & _u32(0xFFFF)) + (hl & _u32(0xFFFF))
+    lo = (ll & _u32(0xFFFF)) | (mid << _u32(16))
+    hi = hh + (lh >> _u32(16)) + (hl >> _u32(16)) + (mid >> _u32(16))
+    return lo, hi
+
+
+def _mul64_const(xl, xh, c):
+    """(xl, xh) * constant c -> low 64 bits as (lo, hi)."""
+    c_lo, c_hi = c
+    lo, hi = _mul32_64(xl, c_lo)
+    hi = hi + xl * _u32(c_hi) + xh * _u32(c_lo)
+    return lo, hi
+
+
+def _add64(al, ah, bl, bh):
+    rl = al + bl
+    carry = (rl < al).astype(jnp.uint32)
+    return rl, ah + bh + carry
+
+
+def _rotl64(xl, xh, r: int):
+    if r == 32:
+        return xh, xl
+    if r > 32:
+        xl, xh = xh, xl
+        r -= 32
+    return (
+        (xl << _u32(r)) | (xh >> _u32(32 - r)),
+        (xh << _u32(r)) | (xl >> _u32(32 - r)),
+    )
+
+
+def _shr64_33(xl, xh):
+    return xh >> _u32(1), jnp.zeros_like(xh)
+
+
+def _fmix64(xl, xh):
+    sl, sh = _shr64_33(xl, xh)
+    xl, xh = xl ^ sl, xh ^ sh
+    xl, xh = _mul64_const(xl, xh, _F1)
+    sl, sh = _shr64_33(xl, xh)
+    xl, xh = xl ^ sl, xh ^ sh
+    xl, xh = _mul64_const(xl, xh, _F2)
+    sl, sh = _shr64_33(xl, xh)
+    return xl ^ sl, xh ^ sh
+
+
+def _mix_k1_small(p):
+    """mix_k1 for a value that fits in u32 (factor lengths): rotl(p*C1,31)*C2."""
+    kl, kh = _mul32_64(p, _C1[0])
+    kh = kh + p * _u32(_C1[1])
+    kl, kh = _rotl64(kl, kh, 31)
+    return _mul64_const(kl, kh, _C2)
+
+
+def _mix_k2_small(p):
+    kl, kh = _mul32_64(p, _C2[0])
+    kh = kh + p * _u32(_C2[1])
+    kl, kh = _rotl64(kl, kh, 33)
+    return _mul64_const(kl, kh, _C1)
+
+
+def _mul5_add(xl, xh, addend: int):
+    """x*5 + addend  (h1 = h1*5 + 0x52dce729 steps); x*5 = x + (x << 2)."""
+    sl = xl << _u32(2)
+    sh = (xh << _u32(2)) | (xl >> _u32(30))
+    xl, xh = _add64(xl, xh, sl, sh)
+    return _add64(xl, xh, _u32(addend), jnp.zeros_like(xh))
+
+
+def _block_update(h1l, h1h, h2l, h2h, k1, k2):
+    """One 16-byte murmur block where k1/k2 are u32-sized values
+    (factor lengths).  Mirrors MurmurHash3.cpp's body loop."""
+    m1l, m1h = _mix_k1_small(k1)
+    h1l, h1h = h1l ^ m1l, h1h ^ m1h
+    h1l, h1h = _rotl64(h1l, h1h, 27)
+    h1l, h1h = _add64(h1l, h1h, h2l, h2h)
+    h1l, h1h = _mul5_add(h1l, h1h, _A1)
+
+    m2l, m2h = _mix_k2_small(k2)
+    h2l, h2h = h2l ^ m2l, h2h ^ m2h
+    h2l, h2h = _rotl64(h2l, h2h, 31)
+    h2l, h2h = _add64(h2l, h2h, h1l, h1h)
+    h2l, h2h = _mul5_add(h2l, h2h, _A2)
+    return h1l, h1h, h2l, h2h
+
+
+def _fused_kernel(seed: int, max_steps: int, unroll: int, s_ref, n_ref, out_ref):
+    Lp, R = s_ref.shape
+    s = s_ref[:].astype(jnp.int32)
+    n = n_ref[:].astype(jnp.int32)  # [1, R]
+    liota = jax.lax.broadcasted_iota(jnp.int32, (Lp, R), 0)
+    zero = jnp.int32(0)  # typed: bare ints are weak i64 under x64 and
+    s = jnp.where(liota < n, s, zero)  # trip a Mosaic lowering recursion
+
+    def sel(col):  # col [1, R] -> byte value [1, R]
+        # dtype pinned: under x64 jnp.sum promotes i32 to i64, which Mosaic
+        # cannot lower
+        return jnp.sum(
+            jnp.where(liota == col, s, zero), axis=0, keepdims=True, dtype=jnp.int32
+        )
+
+    zeros = jnp.zeros((1, R), jnp.int32)
+    uzeros = jnp.zeros((1, R), jnp.uint32)
+    fzeros = jnp.zeros((1, R), jnp.int32)  # flags as i32 0/1
+    seedv = jnp.full((1, R), seed, jnp.uint32)
+
+    one = jnp.int32(1)
+
+    def substep(state):
+        # flag carries (emitting/parity) ride as i32 0/1: Mosaic cannot
+        # round-trip i1 vectors through the while carry (i8->i1 trunc)
+        (i, j, k, emitting, parity, cnt, k1p, h1l, h1h, h2l, h2h) = state
+        em_b = emitting > zero
+        pa_b = parity > zero
+        s_k = sel(k)
+        s_j = sel(jnp.minimum(j, Lp - 1))
+        done = i >= n
+
+        can_extend = (j < n) & (s_k <= s_j)
+        k_scan = jnp.where(s_k < s_j, i, k + 1)
+
+        p = j - k
+        emit_now = i <= k
+        fire = em_b & jnp.logical_not(done) & emit_now
+        pu = p.astype(jnp.uint32)
+
+        # feed the emitted factor length into the murmur chain
+        n1l, n1h, n2l, n2h = _block_update(h1l, h1h, h2l, h2h, k1p, pu)
+        complete = fire & pa_b
+        h1l = jnp.where(complete, n1l, h1l)
+        h1h = jnp.where(complete, n1h, h1h)
+        h2l = jnp.where(complete, n2l, h2l)
+        h2h = jnp.where(complete, n2h, h2h)
+        k1p = jnp.where(fire & jnp.logical_not(pa_b), pu, k1p)
+        parity = jnp.where(fire, one - parity, parity)
+        cnt = cnt + fire.astype(jnp.int32)
+
+        i_emit = jnp.where(emit_now, i + p, i)
+        reset = jnp.logical_not(emit_now)
+        j_emit = jnp.where(reset, i + 1, j)
+        k_emit = jnp.where(reset, i, k)
+
+        scanning = jnp.logical_not(em_b) & jnp.logical_not(done)
+        i_next = jnp.where(scanning | done, i, i_emit)
+        j_next = jnp.where(scanning, jnp.where(can_extend, j + 1, j), jnp.where(done, j, j_emit))
+        k_next = jnp.where(scanning, jnp.where(can_extend, k_scan, k), jnp.where(done, k, k_emit))
+        emitting_next = jnp.where(
+            scanning,
+            jnp.logical_not(can_extend).astype(jnp.int32),
+            jnp.where(done, emitting, emit_now.astype(jnp.int32)),
+        )
+        return (i_next, j_next, k_next, emitting_next, parity, cnt, k1p, h1l, h1h, h2l, h2h)
+
+    def cond(carry):
+        t, state = carry
+        # reduce-to-scalar must be 32-bit for Mosaic (bool any() widens to
+        # f64 under x64 and fails to lower)
+        alive = jnp.max(jnp.where(state[0] < n, jnp.int32(1), jnp.int32(0)))
+        return (t < max_steps) & (alive > jnp.int32(0))
+
+    def body(carry):
+        t, state = carry
+        for _ in range(unroll):
+            state = substep(state)
+        return (t + unroll, state)
+
+    init = (zeros, zeros + 1, zeros, fzeros, fzeros, zeros, uzeros,
+            seedv, uzeros, seedv, uzeros)
+    _, state = jax.lax.while_loop(cond, body, (jnp.int32(0), init))
+    (_, _, _, _, parity, cnt, k1p, h1l, h1h, h2l, h2h) = state
+
+    # odd tail: one pending u64 mixed into h1 (murmur3_u64_batch semantics)
+    pa_b = parity > jnp.int32(0)
+    t1l, t1h = _mix_k1_small(k1p)
+    h1l = jnp.where(pa_b, h1l ^ t1l, h1l)
+    h1h = jnp.where(pa_b, h1h ^ t1h, h1h)
+
+    # finalize with byte_len = 8 * count
+    bl = (cnt.astype(jnp.uint32)) << _u32(3)
+    h1l, h1h = h1l ^ bl, h1h
+    h2l, h2h = h2l ^ bl, h2h
+    h1l, h1h = _add64(h1l, h1h, h2l, h2h)
+    h2l, h2h = _add64(h2l, h2h, h1l, h1h)
+    h1l, h1h = _fmix64(h1l, h1h)
+    h2l, h2h = _fmix64(h2l, h2h)
+    h1l, h1h = _add64(h1l, h1h, h2l, h2h)
+    h2l, h2h = _add64(h2l, h2h, h1l, h1h)
+
+    out_ref[0:1, :] = h1l
+    out_ref[1:2, :] = h1h
+    out_ref[2:3, :] = h2l
+    out_ref[3:4, :] = h2h
+
+
+@partial(jax.jit, static_argnames=("seed", "interpret"))
+def fingerprint_hashes_fused(
+    batch: jax.Array, lengths: jax.Array, seed: int = 42, interpret: bool = False
+):
+    """(h1, h2) u64[B]: MurmurHash3_x64_128 of each row's CFL factor-length
+    vector — the full ``sketch -fp`` per-window computation in one kernel."""
+    B, L = batch.shape
+    Lp = ((L + 127) // 128) * 128
+    Bp = ((B + ROW_BLOCK - 1) // ROW_BLOCK) * ROW_BLOCK
+    sT = jnp.zeros((Lp, Bp), jnp.uint8).at[:L, :B].set(batch.T.astype(jnp.uint8))
+    n = jnp.zeros((1, Bp), jnp.int32).at[0, :B].set(lengths.astype(jnp.int32))
+
+    max_steps = 3 * L + 2
+    unroll = 8
+    max_steps = ((max_steps + unroll - 1) // unroll) * unroll
+
+    out = pl.pallas_call(
+        partial(_fused_kernel, seed, max_steps, unroll),
+        out_shape=jax.ShapeDtypeStruct((4, Bp), jnp.uint32),
+        grid=(Bp // ROW_BLOCK,),
+        in_specs=[
+            pl.BlockSpec((Lp, ROW_BLOCK), lambda b: (0, b)),
+            pl.BlockSpec((1, ROW_BLOCK), lambda b: (0, b)),
+        ],
+        out_specs=pl.BlockSpec((4, ROW_BLOCK), lambda b: (0, b)),
+        interpret=interpret,
+    )(sT, n)
+    h1 = out[0, :B].astype(jnp.uint64) | (out[1, :B].astype(jnp.uint64) << jnp.uint64(32))
+    h2 = out[2, :B].astype(jnp.uint64) | (out[3, :B].astype(jnp.uint64) << jnp.uint64(32))
+    return h1, h2

@@ -33,10 +33,13 @@ def _duval_block_kernel(s_ref, n_ref, boundary_ref):
     n = n_ref[:].astype(jnp.int32)  # [R, 1]
     iota = jax.lax.broadcasted_iota(jnp.int32, (R, L), 1)
 
+    zero = jnp.int32(0)  # typed: bare Python ints become weak i64 under
+    one = jnp.int32(1)  # x64 and hit a Mosaic convert-lowering recursion
+
     def body(t, state):
         i, j, k, emitting, boundary = state
-        s_k = jnp.sum(jnp.where(iota == k, s, 0), axis=1, keepdims=True)
-        s_j = jnp.sum(jnp.where(iota == j, s, 0), axis=1, keepdims=True)
+        s_k = jnp.sum(jnp.where(iota == k, s, zero), axis=1, keepdims=True, dtype=jnp.int32)
+        s_j = jnp.sum(jnp.where(iota == j, s, zero), axis=1, keepdims=True, dtype=jnp.int32)
         done = i >= n
 
         can_extend = (j < n) & (s_k <= s_j)

@@ -1,0 +1,59 @@
+"""Fused Duval+MurmurHash3 Pallas kernel vs the scalar parity chain."""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pytest
+
+
+def test_fused_kernel_matches_scalar_chain():
+    import jax
+    import jax.numpy as jnp
+
+    from fpmash_tpu.ops.fused_pallas import fingerprint_hashes_fused
+    from fpmash_tpu.ops.lyndon import encode_batch
+    from fpmash_tpu.scalar.lyndon import cfl
+    from fpmash_tpu.scalar.murmur3 import hash_u64_vector
+
+    random.seed(3)
+    words = [
+        "".join(random.choice("ACGT") for _ in range(random.randint(1, 100)))
+        for _ in range(80)
+    ]
+    # degenerate shapes: max factor count, single factor, odd/even counts
+    words += ["A" * 100, "ACGT" * 25, "T" * 99 + "A", "A", "CAAB", "BANANA"]
+    arr, lens = encode_batch(words)
+    h1, h2 = jax.device_get(
+        fingerprint_hashes_fused(
+            jnp.asarray(arr), jnp.asarray(lens), seed=42, interpret=True
+        )
+    )
+    for i, w in enumerate(words):
+        fac = [len(f) for f in cfl(w)]
+        want = hash_u64_vector(fac, seed=42, use64=True)
+        assert int(h1[i]) == want, (i, w[:20])
+
+
+def test_fused_kernel_seed_and_low32():
+    import jax
+    import jax.numpy as jnp
+
+    from fpmash_tpu.ops.fused_pallas import fingerprint_hashes_fused
+    from fpmash_tpu.ops.lyndon import encode_batch
+    from fpmash_tpu.scalar.lyndon import cfl
+    from fpmash_tpu.scalar.murmur3 import hash_u64_vector
+
+    words = ["GATTACA" * 10, "CCCTTTAAA"]
+    arr, lens = encode_batch(words)
+    h1, _ = jax.device_get(
+        fingerprint_hashes_fused(
+            jnp.asarray(arr), jnp.asarray(lens), seed=7, interpret=True
+        )
+    )
+    for i, w in enumerate(words):
+        fac = [len(f) for f in cfl(w)]
+        # fp-mode 32-bit truncation rule (Sketch.cpp:1288)
+        want = hash_u64_vector(fac, seed=7, use64=False)
+        assert int(h1[i]) & 0xFFFFFFFF == want
