@@ -31,8 +31,7 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
 
-    from fpmash_tpu.ops.lyndon import cfl_lengths_onehot as cfl_lengths
-    from fpmash_tpu.ops.murmur3 import murmur3_u64_batch
+    from fpmash_tpu.ops.fused_pallas import fingerprint_hashes_fused
 
     WINDOW = 100
     B = 131072  # windows per batch
@@ -45,12 +44,21 @@ def main() -> int:
     w = jnp.asarray(windows)
     l = jnp.asarray(lengths)
 
+    on_cpu = jax.default_backend() == "cpu"
+
     @jax.jit
     def bench(w, l):
         def body(carry, _):
             wv = w ^ carry.astype(jnp.uint8)  # data dependency on prev iter
-            fac_len, fac_count = cfl_lengths(wv, l)
-            h1, _ = murmur3_u64_batch(fac_len.astype(jnp.uint64), fac_count, seed=42)
+            if on_cpu:
+                # pallas needs a real TPU; CPU runs the split XLA pipeline
+                from fpmash_tpu.ops.lyndon import cfl_lengths_onehot
+                from fpmash_tpu.ops.murmur3 import murmur3_u64_batch
+
+                fl, fc = cfl_lengths_onehot(wv, l)
+                h1, _ = murmur3_u64_batch(fl.astype(jnp.uint64), fc, seed=42)
+            else:
+                h1, _, _ = fingerprint_hashes_fused(wv, l, seed=42)
             return (h1[0] & jnp.uint64(1)).astype(jnp.int32), h1.sum()
         _, sums = jax.lax.scan(body, jnp.int32(0), None, length=N)
         return sums

