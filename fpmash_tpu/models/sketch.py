@@ -266,8 +266,17 @@ class Sketch:
                 try:
                     from fpmash_tpu.ops.fused_pallas import fingerprint_hashes_fused
 
+                    # pure-ACGT batches take the 16-chars-per-word 2-bit
+                    # packing (~2x faster select than the generic byte4)
+                    pure_dna = not np.setdiff1d(
+                        np.unique(batch),
+                        np.frombuffer(b"\x00ACGT", dtype=np.uint8),
+                    ).size
                     h1, _, fac_count = fingerprint_hashes_fused(
-                        jnp.asarray(batch), jnp.asarray(lengths), seed=p.seed
+                        jnp.asarray(batch),
+                        jnp.asarray(lengths),
+                        seed=p.seed,
+                        pack="dna16" if pure_dna else "byte4",
                     )
                 except Exception:
                     h1 = fac_count = None

@@ -164,19 +164,25 @@ def _fused_kernel(
     n = n_ref[:].astype(jnp.int32)  # [1, R]
     wiota = jax.lax.broadcasted_iota(jnp.int32, (W, R), 0)
     zero = jnp.int32(0)  # typed: bare ints are weak i64 under x64 and
-    uzero = jnp.uint32(0)  # trip a Mosaic lowering recursion
+    # trip a Mosaic lowering recursion
     cmask = jnp.int32((1 << cpw_log2) - 1)
     vmask = jnp.uint32((1 << (1 << bits_log2)) - 1)
+
+    # Mosaic cannot lower reductions over unsigned vectors; the one-hot
+    # masked sum is bit-identical in i32 (wrapping add), so keep a signed
+    # view of the packed words for the select reduction.
+    sp_i = sp.astype(jnp.int32)
+    izero = jnp.int32(0)
 
     def sel(col):  # col [1, R] char index -> code value [1, R] i32
         # dtype pinned: under x64 jnp.sum promotes to 64-bit, which Mosaic
         # cannot lower
         word = jnp.sum(
-            jnp.where(wiota == (col >> cpw_log2), sp, uzero),
+            jnp.where(wiota == (col >> cpw_log2), sp_i, izero),
             axis=0,
             keepdims=True,
-            dtype=jnp.uint32,
-        )
+            dtype=jnp.int32,
+        ).astype(jnp.uint32)
         sh = ((col & cmask) << bits_log2).astype(jnp.uint32)
         return ((word >> sh) & vmask).astype(jnp.int32)
 
@@ -278,13 +284,207 @@ def _fused_kernel(
     out_ref[7:8, :] = pad
 
 
-@partial(jax.jit, static_argnames=("seed", "interpret", "pack"))
+def _ctz32(word):
+    """Bit index of the lowest set bit of a nonzero u32 vector (binary
+    search on shifted masks; no gather, no float tricks)."""
+    pos = jnp.zeros(word.shape, jnp.int32)
+    t = word
+    for sh, m in ((16, 0xFFFF), (8, 0xFF), (4, 0xF), (2, 0x3), (1, 0x1)):
+        nolow = (t & _u32(m)) == _u32(0)
+        pos = pos + jnp.where(nolow, jnp.int32(sh), jnp.int32(0))
+        t = jnp.where(nolow, t >> _u32(sh), t)
+    return pos
+
+
+def _split_kernel(
+    seed: int,
+    max_steps: int,
+    unroll: int,
+    cpw_log2: int,
+    bits_log2: int,
+    sp_ref,
+    n_ref,
+    out_ref,
+):
+    """Two-phase variant of :func:`_fused_kernel`.
+
+    Phase 1 runs the Duval automaton but records each factor START as one
+    bit in a 4xu32 per-lane bitmask (L <= 128) instead of paying the full
+    64-bit MurmurHash3 block update on every automaton step.  Phase 2
+    walks the set bits in ascending order — max(factor count) iterations,
+    typically ~L/5 for DNA — and feeds the successive factor lengths into
+    the murmur chain.  Semantics identical to the inline kernel.
+    """
+    W, R = sp_ref.shape
+    sp = sp_ref[:]
+    n = n_ref[:].astype(jnp.int32)  # [1, R]
+    wiota = jax.lax.broadcasted_iota(jnp.int32, (W, R), 0)
+    zero = jnp.int32(0)
+    cmask = jnp.int32((1 << cpw_log2) - 1)
+    vmask = jnp.uint32((1 << (1 << bits_log2)) - 1)
+
+    sp_i = sp.astype(jnp.int32)
+    izero = jnp.int32(0)
+
+    def sel(col):
+        word = jnp.sum(
+            jnp.where(wiota == (col >> cpw_log2), sp_i, izero),
+            axis=0,
+            keepdims=True,
+            dtype=jnp.int32,
+        ).astype(jnp.uint32)
+        sh = ((col & cmask) << bits_log2).astype(jnp.uint32)
+        return ((word >> sh) & vmask).astype(jnp.int32)
+
+    zeros = jnp.zeros((1, R), jnp.int32)
+    uzeros = jnp.zeros((1, R), jnp.uint32)
+    fzeros = jnp.zeros((1, R), jnp.int32)
+    seedv = jnp.full((1, R), seed, jnp.uint32)
+    one = jnp.int32(1)
+
+    # ---- phase 1: Duval automaton, boundary bits only ----
+    def substep(state):
+        (i, j, k, emitting, cnt, m0, m1, m2, m3) = state
+        em_b = emitting > zero
+        s_k = sel(k)
+        s_j = sel(jnp.minimum(j, (W << cpw_log2) - 1))
+        done = i >= n
+
+        can_extend = (j < n) & (s_k <= s_j)
+        k_scan = jnp.where(s_k < s_j, i, k + 1)
+
+        p = j - k
+        emit_now = i <= k
+        fire = em_b & jnp.logical_not(done) & emit_now
+
+        # record factor start bit i
+        bitv = _u32(1) << (i & jnp.int32(31)).astype(jnp.uint32)
+        iw = i >> jnp.int32(5)
+        m0 = jnp.where(fire & (iw == zero), m0 | bitv, m0)
+        m1 = jnp.where(fire & (iw == one), m1 | bitv, m1)
+        m2 = jnp.where(fire & (iw == jnp.int32(2)), m2 | bitv, m2)
+        m3 = jnp.where(fire & (iw == jnp.int32(3)), m3 | bitv, m3)
+        cnt = cnt + fire.astype(jnp.int32)
+
+        i_emit = jnp.where(emit_now, i + p, i)
+        reset = jnp.logical_not(emit_now)
+        j_emit = jnp.where(reset, i + 1, j)
+        k_emit = jnp.where(reset, i, k)
+
+        scanning = jnp.logical_not(em_b) & jnp.logical_not(done)
+        i_next = jnp.where(scanning | done, i, i_emit)
+        j_next = jnp.where(scanning, jnp.where(can_extend, j + 1, j), jnp.where(done, j, j_emit))
+        k_next = jnp.where(scanning, jnp.where(can_extend, k_scan, k), jnp.where(done, k, k_emit))
+        emitting_next = jnp.where(
+            scanning,
+            jnp.logical_not(can_extend).astype(jnp.int32),
+            jnp.where(done, emitting, emit_now.astype(jnp.int32)),
+        )
+        return (i_next, j_next, k_next, emitting_next, cnt, m0, m1, m2, m3)
+
+    def cond1(carry):
+        t, state = carry
+        alive = jnp.max(jnp.where(state[0] < n, jnp.int32(1), jnp.int32(0)))
+        return (t < max_steps) & (alive > jnp.int32(0))
+
+    def body1(carry):
+        t, state = carry
+        for _ in range(unroll):
+            state = substep(state)
+        return (t + unroll, state)
+
+    init1 = (zeros, zeros + 1, zeros, fzeros, zeros, uzeros, uzeros, uzeros, uzeros)
+    _, st = jax.lax.while_loop(cond1, body1, (jnp.int32(0), init1))
+    (_, _, _, _, cnt, m0, m1, m2, m3) = st
+
+    # ---- phase 2: walk boundary bits, feed lengths into murmur ----
+    m0 = m0 & _u32(0xFFFFFFFE)  # first factor always starts at 0
+
+    def cond2(carry):
+        t, fidx, *_ = carry
+        alive = jnp.max(jnp.where(fidx < cnt, jnp.int32(1), jnp.int32(0)))
+        return (t < max_steps) & (alive > jnp.int32(0))
+
+    def body2(carry):
+        (t, fidx, prev, parity, k1p, h1l, h1h, h2l, h2h, m0, m1, m2, m3) = carry
+        active = fidx < cnt
+        nz0 = m0 != _u32(0)
+        nz1 = m1 != _u32(0)
+        nz2 = m2 != _u32(0)
+        nz3 = m3 != _u32(0)
+        anyb = nz0 | nz1 | nz2 | nz3
+        word = jnp.where(nz0, m0, jnp.where(nz1, m1, jnp.where(nz2, m2, m3)))
+        base = jnp.where(
+            nz0, zero, jnp.where(nz1, jnp.int32(32), jnp.where(nz2, jnp.int32(64), jnp.int32(96)))
+        )
+        pos = base + _ctz32(word)
+        nxt = jnp.where(anyb, pos, n)  # next factor start, or end of row
+        pu = (nxt - prev).astype(jnp.uint32)
+
+        n1l, n1h, n2l, n2h = _block_update(h1l, h1h, h2l, h2h, k1p, pu)
+        pa_b = parity > zero
+        complete = active & pa_b
+        h1l = jnp.where(complete, n1l, h1l)
+        h1h = jnp.where(complete, n1h, h1h)
+        h2l = jnp.where(complete, n2l, h2l)
+        h2h = jnp.where(complete, n2h, h2h)
+        k1p = jnp.where(active & jnp.logical_not(pa_b), pu, k1p)
+        parity = jnp.where(active, one - parity, parity)
+
+        cleared = word & (word - _u32(1))
+        clr = active & anyb
+        m0 = jnp.where(clr & nz0, cleared, m0)
+        m1 = jnp.where(clr & jnp.logical_not(nz0) & nz1, cleared, m1)
+        m2 = jnp.where(clr & jnp.logical_not(nz0) & jnp.logical_not(nz1) & nz2, cleared, m2)
+        m3 = jnp.where(
+            clr & jnp.logical_not(nz0) & jnp.logical_not(nz1) & jnp.logical_not(nz2),
+            cleared,
+            m3,
+        )
+        prev = jnp.where(clr, nxt, prev)
+        fidx = fidx + active.astype(jnp.int32)
+        return (t + 1, fidx, prev, parity, k1p, h1l, h1h, h2l, h2h, m0, m1, m2, m3)
+
+    init2 = (jnp.int32(0), zeros, zeros, fzeros, uzeros, seedv, uzeros, seedv, uzeros,
+             m0, m1, m2, m3)
+    st2 = jax.lax.while_loop(cond2, body2, init2)
+    (_, _, _, parity, k1p, h1l, h1h, h2l, h2h, _, _, _, _) = st2
+
+    # odd tail + finalize (murmur3_u64_batch semantics)
+    pa_b = parity > jnp.int32(0)
+    t1l, t1h = _mix_k1_small(k1p)
+    h1l = jnp.where(pa_b, h1l ^ t1l, h1l)
+    h1h = jnp.where(pa_b, h1h ^ t1h, h1h)
+
+    bl = (cnt.astype(jnp.uint32)) << _u32(3)
+    h1l, h1h = h1l ^ bl, h1h
+    h2l, h2h = h2l ^ bl, h2h
+    h1l, h1h = _add64(h1l, h1h, h2l, h2h)
+    h2l, h2h = _add64(h2l, h2h, h1l, h1h)
+    h1l, h1h = _fmix64(h1l, h1h)
+    h2l, h2h = _fmix64(h2l, h2h)
+    h1l, h1h = _add64(h1l, h1h, h2l, h2h)
+    h2l, h2h = _add64(h2l, h2h, h1l, h1h)
+
+    out_ref[0:1, :] = h1l
+    out_ref[1:2, :] = h1h
+    out_ref[2:3, :] = h2l
+    out_ref[3:4, :] = h2h
+    out_ref[4:5, :] = cnt.astype(jnp.uint32)
+    pad = jnp.zeros_like(h1l)
+    out_ref[5:6, :] = pad
+    out_ref[6:7, :] = pad
+    out_ref[7:8, :] = pad
+
+
+@partial(jax.jit, static_argnames=("seed", "interpret", "pack", "variant"))
 def fingerprint_hashes_fused(
     batch: jax.Array,
     lengths: jax.Array,
     seed: int = 42,
     interpret: bool = False,
     pack: str = "byte4",
+    variant: str = "split",
 ):
     """(h1 u64[B], h2 u64[B], fac_count i32[B]): MurmurHash3_x64_128 of each
     row's CFL factor-length vector (and the factor count) — the full
@@ -293,8 +493,19 @@ def fingerprint_hashes_fused(
     ``pack="byte4"`` handles any byte alphabet; ``pack="dna16"`` requires
     the batch to contain only A/C/G/T (plus padding) and packs 16
     order-preserving 2-bit codes per word for a ~2x faster select.
+
+    ``variant="split"`` (default, L <= 128 only) records factor boundaries
+    as bits during the Duval loop and runs the murmur chain afterwards over
+    max(factor count) iterations; ``variant="inline"`` hashes inside the
+    automaton loop.  Split avoids the ~100-op 64-bit block update on every
+    automaton step, so it is the faster kernel whenever factors are longer
+    than ~1 char on average.
     """
     B, L = batch.shape
+    if variant == "split" and L > 128:
+        variant = "inline"  # boundary bitmask is 4xu32 = 128 positions
+    if variant not in ("split", "inline"):
+        raise ValueError(f"unknown variant {variant!r}")
     if pack == "dna16":
         cpw_log2, bits_log2 = 4, 1
     elif pack == "byte4":
@@ -337,8 +548,9 @@ def fingerprint_hashes_fused(
     # a pallas grid instead trips a Mosaic legalization bug ("failed to
     # legalize operation 'func.return'") when the kernel body is a
     # while_loop; a gridless kernel with identical body compiles fine.
+    kern = _split_kernel if variant == "split" else _fused_kernel
     call = pl.pallas_call(
-        partial(_fused_kernel, seed, max_steps, unroll, cpw_log2, bits_log2),
+        partial(kern, seed, max_steps, unroll, cpw_log2, bits_log2),
         out_shape=jax.ShapeDtypeStruct((8, ROW_BLOCK), jnp.uint32),
         in_specs=[
             pl.BlockSpec((W, ROW_BLOCK), lambda: (0, 0)),

@@ -27,7 +27,8 @@ def test_fused_kernel_matches_scalar_chain():
     arr, lens = encode_batch(words)
     h1, h2, fc = jax.device_get(
         fingerprint_hashes_fused(
-            jnp.asarray(arr), jnp.asarray(lens), seed=42, interpret=True
+            jnp.asarray(arr), jnp.asarray(lens), seed=42, interpret=True,
+            variant="inline",
         )
     )
     for i, w in enumerate(words):
@@ -87,4 +88,64 @@ def test_fused_kernel_multi_chunk(monkeypatch):
     for i, w in enumerate(words):
         fac = [len(f) for f in cfl(w)]
         assert int(h1[i]) == hash_u64_vector(fac, seed=42, use64=True), i
+        assert int(fc[i]) == len(fac)
+
+def test_fused_kernel_dna16_pack():
+    """2-bit DNA packing must match byte4 and the scalar chain exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from fpmash_tpu.ops.fused_pallas import fingerprint_hashes_fused
+    from fpmash_tpu.ops.lyndon import encode_batch
+    from fpmash_tpu.scalar.lyndon import cfl
+    from fpmash_tpu.scalar.murmur3 import hash_u64_vector
+
+    random.seed(11)
+    words = [
+        "".join(random.choice("ACGT") for _ in range(random.randint(1, 100)))
+        for _ in range(64)
+    ]
+    words += ["A" * 100, "T" * 100, "ACGT" * 25, "A", "TGCA" * 25]
+    arr, lens = encode_batch(words)
+    h1, h2, fc = jax.device_get(
+        fingerprint_hashes_fused(
+            jnp.asarray(arr), jnp.asarray(lens), seed=42, interpret=True,
+            pack="dna16",
+        )
+    )
+    for i, w in enumerate(words):
+        fac = [len(f) for f in cfl(w)]
+        assert int(h1[i]) == hash_u64_vector(fac, seed=42, use64=True), (i, w[:20])
+        assert int(fc[i]) == len(fac)
+
+@pytest.mark.parametrize("pack", ["byte4", "dna16"])
+def test_split_variant_matches_scalar_chain(pack):
+    """Two-phase (boundary-bit) kernel == scalar chain, both packings."""
+    import jax
+    import jax.numpy as jnp
+
+    from fpmash_tpu.ops.fused_pallas import fingerprint_hashes_fused
+    from fpmash_tpu.ops.lyndon import encode_batch
+    from fpmash_tpu.scalar.lyndon import cfl
+    from fpmash_tpu.scalar.murmur3 import hash_u64_vector
+
+    random.seed(17)
+    words = [
+        "".join(random.choice("ACGT") for _ in range(random.randint(1, 128)))
+        for _ in range(64)
+    ]
+    # worst cases: max factor count (all-same char), single factor,
+    # alternating parity, full-width rows hitting all 4 mask words
+    words += ["A" * 128, "T" * 127 + "A", "ACGT" * 32, "A", "TGCA" * 32,
+              "G" * 100, "C"]
+    arr, lens = encode_batch(words)
+    h1, h2, fc = jax.device_get(
+        fingerprint_hashes_fused(
+            jnp.asarray(arr), jnp.asarray(lens), seed=42, interpret=True,
+            pack=pack, variant="split",
+        )
+    )
+    for i, w in enumerate(words):
+        fac = [len(f) for f in cfl(w)]
+        assert int(h1[i]) == hash_u64_vector(fac, seed=42, use64=True), (i, w[:20])
         assert int(fc[i]) == len(fac)
