@@ -296,17 +296,29 @@ def _ctz32(word):
     return pos
 
 
+GROUPS = 8  # windows stacked on the sublane axis in the split kernel
+
+
 def _split_kernel(
     seed: int,
     max_steps: int,
     unroll: int,
     cpw_log2: int,
     bits_log2: int,
+    W: int,
     sp_ref,
     n_ref,
     out_ref,
 ):
-    """Two-phase variant of :func:`_fused_kernel`.
+    """Two-phase, sublane-grouped variant of :func:`_fused_kernel`.
+
+    Layout: GROUPS=8 windows ride the SUBLANE axis — every per-window
+    state vector is ``[8, R]``, so elementwise state math runs at full
+    (8x128) vreg occupancy instead of the 1/8 occupancy of a ``[1, R]``
+    layout.  The packed words are interleaved as row ``w*8 + s`` = word w
+    of window (s, r); character select is a W-iteration loop of
+    fully-occupied compare/select/accumulate over vreg-aligned 8-row
+    slabs — no cross-sublane reduction, no gathers.
 
     Phase 1 runs the Duval automaton but records each factor START as one
     bit in a 4xu32 per-lane bitmask (L <= 128) instead of paying the full
@@ -315,31 +327,33 @@ def _split_kernel(
     typically ~L/5 for DNA — and feeds the successive factor lengths into
     the murmur chain.  Semantics identical to the inline kernel.
     """
-    W, R = sp_ref.shape
-    sp = sp_ref[:]
-    n = n_ref[:].astype(jnp.int32)  # [1, R]
-    wiota = jax.lax.broadcasted_iota(jnp.int32, (W, R), 0)
+    G = GROUPS
+    WG, R = sp_ref.shape
+    assert WG == W * G
+    n = n_ref[:].astype(jnp.int32)  # [G, R]
     zero = jnp.int32(0)
     cmask = jnp.int32((1 << cpw_log2) - 1)
     vmask = jnp.uint32((1 << (1 << bits_log2)) - 1)
 
-    sp_i = sp.astype(jnp.int32)
+    # Mosaic cannot lower reductions/selects over unsigned cleanly in all
+    # versions; accumulate the one-hot select in i32 (bit-identical).
+    sp_i = sp_ref[:].astype(jnp.int32)
     izero = jnp.int32(0)
 
-    def sel(col):
-        word = jnp.sum(
-            jnp.where(wiota == (col >> cpw_log2), sp_i, izero),
-            axis=0,
-            keepdims=True,
-            dtype=jnp.int32,
-        ).astype(jnp.uint32)
+    def sel(col):  # col [G, R] char index -> code value [G, R] i32
+        colw = col >> cpw_log2
+        word = jnp.zeros((G, R), jnp.int32)
+        for w in range(W):
+            word = word + jnp.where(
+                colw == jnp.int32(w), sp_i[w * G : (w + 1) * G], izero
+            )
         sh = ((col & cmask) << bits_log2).astype(jnp.uint32)
-        return ((word >> sh) & vmask).astype(jnp.int32)
+        return ((word.astype(jnp.uint32) >> sh) & vmask).astype(jnp.int32)
 
-    zeros = jnp.zeros((1, R), jnp.int32)
-    uzeros = jnp.zeros((1, R), jnp.uint32)
-    fzeros = jnp.zeros((1, R), jnp.int32)
-    seedv = jnp.full((1, R), seed, jnp.uint32)
+    zeros = jnp.zeros((G, R), jnp.int32)
+    uzeros = jnp.zeros((G, R), jnp.uint32)
+    fzeros = jnp.zeros((G, R), jnp.int32)
+    seedv = jnp.full((G, R), seed, jnp.uint32)
     one = jnp.int32(1)
 
     # ---- phase 1: Duval automaton, boundary bits only ----
@@ -466,15 +480,11 @@ def _split_kernel(
     h1l, h1h = _add64(h1l, h1h, h2l, h2h)
     h2l, h2h = _add64(h2l, h2h, h1l, h1h)
 
-    out_ref[0:1, :] = h1l
-    out_ref[1:2, :] = h1h
-    out_ref[2:3, :] = h2l
-    out_ref[3:4, :] = h2h
-    out_ref[4:5, :] = cnt.astype(jnp.uint32)
-    pad = jnp.zeros_like(h1l)
-    out_ref[5:6, :] = pad
-    out_ref[6:7, :] = pad
-    out_ref[7:8, :] = pad
+    out_ref[0 * G : 1 * G, :] = h1l
+    out_ref[1 * G : 2 * G, :] = h1h
+    out_ref[2 * G : 3 * G, :] = h2l
+    out_ref[3 * G : 4 * G, :] = h2h
+    out_ref[4 * G : 5 * G, :] = cnt.astype(jnp.uint32)
 
 
 @partial(jax.jit, static_argnames=("seed", "interpret", "pack", "variant"))
@@ -514,10 +524,9 @@ def fingerprint_hashes_fused(
         raise ValueError(f"unknown pack mode {pack!r}")
     cpw = 1 << cpw_log2
     W = -(-L // cpw)
-    W = ((W + 7) // 8) * 8  # u32 sublane tile multiple
-    Bp = ((B + ROW_BLOCK - 1) // ROW_BLOCK) * ROW_BLOCK
+    if variant == "inline":
+        W = ((W + 7) // 8) * 8  # u32 sublane tile multiple
 
-    n = jnp.zeros((1, Bp), jnp.int32).at[0, :B].set(lengths.astype(jnp.int32))
     # mask beyond-length chars to 0, then pack cpw chars per u32 word
     codes = batch.astype(jnp.uint8)
     if pack == "dna16":
@@ -538,19 +547,58 @@ def fingerprint_hashes_fused(
     words = jnp.sum(
         padded.reshape(B, W, cpw) << shifts, axis=-1, dtype=jnp.uint32
     )  # [B, W]
-    sT = jnp.zeros((W, Bp), jnp.uint32).at[:, :B].set(words.T)
 
     max_steps = 3 * L + 2
     unroll = 8
     max_steps = ((max_steps + unroll - 1) // unroll) * unroll
 
-    # NOTE: gridless call mapped over row chunks. Putting the row blocks on
-    # a pallas grid instead trips a Mosaic legalization bug ("failed to
+    # NOTE: gridless calls mapped over row chunks. Putting the row blocks
+    # on a pallas grid instead trips a Mosaic legalization bug ("failed to
     # legalize operation 'func.return'") when the kernel body is a
     # while_loop; a gridless kernel with identical body compiles fine.
-    kern = _split_kernel if variant == "split" else _fused_kernel
+    if variant == "split":
+        # sublane-grouped layout: GROUPS windows per lane column; slab row
+        # w*G+s holds word w of window (s, r); window index = c*G*R + s*R + r
+        G = GROUPS
+        per = G * ROW_BLOCK
+        Bp = ((B + per - 1) // per) * per
+        wordsp = jnp.zeros((Bp, W), jnp.uint32).at[:B].set(words)
+        nflat = jnp.zeros((Bp,), jnp.int32).at[:B].set(lengths.astype(jnp.int32))
+        chunks = Bp // per
+        wc = (
+            wordsp.reshape(chunks, G, ROW_BLOCK, W)
+            .transpose(0, 3, 1, 2)
+            .reshape(chunks, W * G, ROW_BLOCK)
+        )
+        nc = nflat.reshape(chunks, G, ROW_BLOCK)
+        call = pl.pallas_call(
+            partial(_split_kernel, seed, max_steps, unroll, cpw_log2, bits_log2, W),
+            out_shape=jax.ShapeDtypeStruct((5 * G, ROW_BLOCK), jnp.uint32),
+            in_specs=[
+                pl.BlockSpec((W * G, ROW_BLOCK), lambda: (0, 0)),
+                pl.BlockSpec((G, ROW_BLOCK), lambda: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((5 * G, ROW_BLOCK), lambda: (0, 0)),
+            interpret=interpret,
+        )
+        if chunks == 1:
+            out = call(wc[0], nc[0])[None]
+        else:
+            out = jax.lax.map(lambda args: call(*args), (wc, nc))  # [C, 5G, R]
+        comp = [out[:, i * G : (i + 1) * G, :].reshape(Bp) for i in range(5)]
+        h1 = comp[0][:B].astype(jnp.uint64) | (
+            comp[1][:B].astype(jnp.uint64) << jnp.uint64(32)
+        )
+        h2 = comp[2][:B].astype(jnp.uint64) | (
+            comp[3][:B].astype(jnp.uint64) << jnp.uint64(32)
+        )
+        return h1, h2, comp[4][:B].astype(jnp.int32)
+
+    Bp = ((B + ROW_BLOCK - 1) // ROW_BLOCK) * ROW_BLOCK
+    n = jnp.zeros((1, Bp), jnp.int32).at[0, :B].set(lengths.astype(jnp.int32))
+    sT = jnp.zeros((W, Bp), jnp.uint32).at[:, :B].set(words.T)
     call = pl.pallas_call(
-        partial(kern, seed, max_steps, unroll, cpw_log2, bits_log2),
+        partial(_fused_kernel, seed, max_steps, unroll, cpw_log2, bits_log2),
         out_shape=jax.ShapeDtypeStruct((8, ROW_BLOCK), jnp.uint32),
         in_specs=[
             pl.BlockSpec((W, ROW_BLOCK), lambda: (0, 0)),
