@@ -48,8 +48,26 @@ def build_parser() -> argparse.ArgumentParser:
     return parser
 
 
+def _apply_platform_override() -> None:
+    """Honor ``FPMASH_PLATFORM`` (e.g. ``cpu``) before any JAX backend use.
+
+    Some environments force-register an accelerator backend from
+    sitecustomize, so the plain ``JAX_PLATFORMS`` env var is not enough —
+    the platform must be overridden through jax.config after import.  Small
+    host-side runs shouldn't pay a device compile round-trip.
+    """
+    import os
+
+    plat = os.environ.get("FPMASH_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
+    _apply_platform_override()
     # mash-style single-dash long flags: map "-fp" style tokens before parse
     parser = build_parser()
     args = parser.parse_args(argv)

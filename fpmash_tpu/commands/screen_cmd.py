@@ -115,17 +115,35 @@ def _run_streaming(args, ref: Sketch, hash_table) -> int:
 
     bits = 64 if p.use64 else 32
     set_size = int(estimate_set_size(values, p.sketch_size, bits))
-    # membership of each reference's hashes in the query hash multiset,
-    # via searchsorted on the sorted distinct query hashes
-    shared = [0] * len(ref.references)
-    depths: list[list[int]] = [[] for _ in ref.references]
-    for i, r in enumerate(ref.references):
-        h = np.asarray(r.hashes, np.uint64)
-        idx = np.searchsorted(values, h)
-        idx = np.minimum(idx, len(values) - 1) if len(values) else idx
-        present = (values[idx] == h) if len(values) else np.zeros(len(h), bool)
-        shared[i] = int(np.sum(present))
-        depths[i] = [int(c) for c in counts[idx[present]]]
+    # membership of each reference's hashes in the query hash multiset:
+    # ONE searchsorted of all reference hash arrays concatenated (CSR)
+    # against the sorted distinct query values, then a segmented reduction
+    # — no per-reference Python loop (the reference builds a hash table for
+    # exactly this scale reason, CommandScreen.cpp:81-102; a 100k-reference
+    # RefSeq sketch is the target workload)
+    n_refs = len(ref.references)
+    seg_len = np.array([len(r.hashes) for r in ref.references], np.int64)
+    ends = np.cumsum(seg_len)
+    cat = (
+        np.concatenate([np.asarray(r.hashes, np.uint64) for r in ref.references])
+        if n_refs
+        else np.zeros(0, np.uint64)
+    )
+    if len(values) and len(cat):
+        idx = np.minimum(np.searchsorted(values, cat), len(values) - 1)
+        present = values[idx] == cat
+    else:
+        idx = np.zeros(len(cat), np.int64)
+        present = np.zeros(len(cat), bool)
+    # per-segment shared counts via cumulative sums at segment ends
+    csum = np.concatenate([[0], np.cumsum(present.astype(np.int64))])
+    shared_ends = csum[ends]
+    shared_starts = csum[ends - seg_len]
+    shared = [int(s) for s in shared_ends - shared_starts]
+    depth_cat = counts[idx[present]] if len(cat) else np.zeros(0, np.int64)
+    depths = [
+        [int(c) for c in depth_cat[a:b]] for a, b in zip(shared_starts, shared_ends)
+    ]
     hash_counts: dict[int, int] = {}
     if args.winner:
         member = set()

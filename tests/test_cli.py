@@ -102,6 +102,44 @@ def test_cli_triangle_fp(golden_dir, capsys):
     assert len(lines[2].split("\t")) == 2
 
 
+def test_cli_triangle_fp_chisq_pvalues(golden_dir, capsys):
+    """Pin triangle -fp's chi-squared p-value (CommandTriangle.cpp:297
+    ``gsl_cdf_chisq_Q(matches, 1)``) end-to-end.
+
+    Oracle: for df=1, ``gsl_cdf_chisq_Q(x, 1) == erfc(sqrt(x/2))`` exactly;
+    the pinned strings below are that identity evaluated with the C library
+    erfc and formatted with the reference's ``%g`` — independent of both
+    scipy and fpmash's own stats code.
+    """
+    import math
+
+    rc = main(
+        [
+            "triangle",
+            "-fp",
+            "-E",
+            str(golden_dir / "cfl" / "DNA1-CFL.txt"),
+            str(golden_dir / "cfl" / "DNA2-CFL.txt"),
+            str(golden_dir / "cfl" / "DNA3-CFL.txt"),
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    lines = {tuple(l.split("\t")[:2]): l.split("\t") for l in out.splitlines()}
+    # matches=1 -> p = erfc(sqrt(0.5)) = 0.317311; matches=5 -> 0.0253473
+    row = lines[("G00000ME0DIJTL_0", "G00000DFTZD2H0_0")]
+    assert row[2:] == ["0.9995", "0.317311", "1/2000"]
+    row = lines[("G00000PIKPASEI_0", "G00000K8TOX811_0")]
+    assert row[2:] == ["0.9975", "0.0253473", "5/2000"]
+    # the analytic identity itself, across the whole small-match range
+    from fpmash_tpu.scalar.stats import chisq_sf
+
+    for m in range(0, 12):
+        assert chisq_sf(m, 1) == pytest.approx(
+            math.erfc(math.sqrt(m / 2.0)), rel=1e-12
+        )
+
+
 def test_cli_generate_fingerprint_mapping(tmp_path, monkeypatch, capsys):
     monkeypatch.chdir(tmp_path)
     rc = main(

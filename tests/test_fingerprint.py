@@ -65,6 +65,46 @@ def test_basic_pipeline_matches_goldens(golden_dir, ensg_reads, fact, fname, n_r
     ]
 
 
+@pytest.mark.parametrize(
+    "fact",
+    [
+        "ICFL",
+        "CFL_COMB",
+        "CFL_ICFL-20",
+        "CFL_ICFL-30",
+        "CFL_ICFL_COMB-10",
+        "CFL_ICFL_COMB-30",
+    ],
+)
+def test_all_factorization_families_match_goldens(golden_dir, fact):
+    """Byte parity for the 6 families the reference snapshot shipped no
+    outputs for.  The fixtures were produced by *running* the reference's
+    own lyn2vec (``lyn2vec.py --type basic --rev_comb true`` over
+    example_transcripts_genes.fa) and vendoring the result gzipped; together
+    with the 4 checked-in reference files this closes the golden matrix over
+    all 10 factorization names (lyn2vec.py:47-72)."""
+    import gzip
+
+    reads = extract_reads(
+        str(golden_dir / "lyn2vec_basic" / "example_transcripts_genes.fa"),
+        rev_com=True,
+    )
+    fp, fac = fingerprint_reads(
+        reads, fact, backend="auto", with_factors=(fact == "ICFL")
+    )
+    with gzip.open(
+        golden_dir / "lyn2vec_basic" / f"fingerprint_{fact}.txt.gz", "rt"
+    ) as fh:
+        golden = fh.readlines()
+    assert fp == golden
+    if fact == "ICFL":
+        with gzip.open(
+            golden_dir / "lyn2vec_basic" / "fact_fingerprint_ICFL.txt.gz", "rt"
+        ) as fh:
+            golden_fac = fh.readlines()
+        assert [l.rstrip() for l in fac] == [l.rstrip() for l in golden_fac]
+
+
 def test_dna3_cfl_matches_golden(golden_dir):
     reads = extract_reads(str(golden_dir / "cfl" / "DNA3.fasta"), rev_com=True)
     fp, _ = fingerprint_reads(reads, "CFL", backend="scalar")

@@ -61,8 +61,16 @@ def test_fused_kernel_seed_and_low32():
         assert int(h1[i]) & 0xFFFFFFFF == want
 
 
-def test_fused_kernel_multi_chunk(monkeypatch):
-    """B > ROW_BLOCK exercises the lax.map chunking + output reassembly."""
+@pytest.mark.parametrize("variant", ["split", "inline"])
+def test_fused_kernel_multi_chunk(monkeypatch, variant):
+    """B large enough that chunks > 1 exercises the lax.map chunking + output
+    reassembly for BOTH variants.
+
+    The split variant's per-call capacity is GROUPS*ROW_BLOCK, so ROW_BLOCK
+    must be patched low enough that B=300 > 8*ROW_BLOCK — production
+    (ROW_BLOCK=2048, up to 1M windows) hits the split multi-chunk path
+    routinely.
+    """
     import random
 
     import jax
@@ -73,7 +81,7 @@ def test_fused_kernel_multi_chunk(monkeypatch):
     from fpmash_tpu.scalar.lyndon import cfl
     from fpmash_tpu.scalar.murmur3 import hash_u64_vector
 
-    monkeypatch.setattr(fp, "ROW_BLOCK", 128)
+    monkeypatch.setattr(fp, "ROW_BLOCK", 16)
     random.seed(5)
     words = [
         "".join(random.choice("ACGT") for _ in range(random.randint(1, 100)))
@@ -82,9 +90,12 @@ def test_fused_kernel_multi_chunk(monkeypatch):
     arr, lens = encode_batch(words)
     h1, _, fc = jax.device_get(
         fp.fingerprint_hashes_fused(
-            jnp.asarray(arr), jnp.asarray(lens), seed=42, interpret=True
+            jnp.asarray(arr), jnp.asarray(lens), seed=42, interpret=True,
+            variant=variant,
         )
     )
+    # the patched geometry must actually chunk (split capacity 8*16=128 < 300)
+    assert 300 > 8 * fp.ROW_BLOCK
     for i, w in enumerate(words):
         fac = [len(f) for f in cfl(w)]
         assert int(h1[i]) == hash_u64_vector(fac, seed=42, use64=True), i
