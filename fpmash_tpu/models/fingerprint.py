@@ -186,16 +186,21 @@ def factorize_batch(
     """Factorize a batch of strings, dispatching to the device kernel when
     possible.
 
-    The batched Duval kernel covers the pure-CFL family; other factorization
-    types currently use the scalar models (still batched at the Python level).
+    Every factorization family has a batched device kernel (the Duval and
+    ICFL automatons composed through boundary-mask algebra,
+    :mod:`fpmash_tpu.ops.factorize`); ``auto`` uses it for batches large
+    enough to amortize dispatch, the native C factorizer otherwise.
     """
     if factorization not in FACTORIZATIONS:
         raise ValueError(
             f"unknown factorization {factorization!r}; "
             f"expected one of {sorted(FACTORIZATIONS)}"
         )
+    max_len = max((len(w) for w in windows), default=0)
+    # non-CFL kernels pack positions into 10-bit level records
+    device_ok = factorization == "CFL" or max_len <= 1023
     if backend == "auto":
-        if factorization == "CFL" and len(windows) >= 64:
+        if device_ok and len(windows) >= 64:
             backend = "jax"
         else:
             backend = "native"
@@ -203,6 +208,13 @@ def factorize_batch(
         from fpmash_tpu.ops.lyndon import cfl_factor_strings
 
         return cfl_factor_strings(windows)
+    if backend == "jax" and device_ok:
+        from fpmash_tpu.ops.factorize import factorize_windows_device
+
+        lens = factorize_windows_device(list(windows), factorization)
+        return [_slice_factors(w, ls) for w, ls in zip(windows, lens)]
+    if backend == "jax":
+        backend = "native"  # rows too wide for the device family kernels
     if backend == "native":
         from fpmash_tpu.utils.native_lyndon import factorize_batch_native
 

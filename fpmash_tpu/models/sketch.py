@@ -186,7 +186,18 @@ class Sketch:
 
         p = self.params
         reads = list(reads)
-        if factorization != "CFL":
+        # every factorization family now has a device kernel
+        # (ops/factorize.py); the host factorizer remains only for tiny
+        # inputs (not worth a dispatch) and rows wider than the ICFL
+        # kernel's 10-bit position packing
+        n_windows_est = sum(
+            max(1, len(s)) if shift and len(s) >= 100 else 1 for _, s in reads
+        )
+        max_read = max((len(s) for _, s in reads), default=0)
+        host_route = factorization != "CFL" and (
+            n_windows_est < 256 or (not shift and max_read > 1023)
+        )
+        if host_route:
             # non-CFL families route through the native/scalar factorizer
             from fpmash_tpu.models.fingerprint import factorize_batch
 
@@ -222,7 +233,7 @@ class Sketch:
             self._create_index()
             return
 
-        # device CFL path: batch all windows of all reads
+        # device path: batch all windows of all reads
         W = SHIFT_WINDOW
         ids = []
         rows = []
@@ -260,7 +271,30 @@ class Sketch:
 
         with trace("factorize+hash", windows=row_ptr):
             h1 = fac_count = None
-            if jax.default_backend() != "cpu" and batch.shape[1] <= 128:
+            if factorization != "CFL":
+                # family-composed boundary kernels (ICFL automaton + mask
+                # algebra; ops/factorize.py), then the same murmur pipeline
+                from fpmash_tpu.ops.factorize import factor_lengths_device
+
+                fac_len, fac_count, ok = factor_lengths_device(
+                    jnp.asarray(batch), jnp.asarray(lengths), factorization
+                )
+                h1, _ = murmur3_u64_batch(
+                    fac_len.astype(jnp.uint64), fac_count, seed=p.seed
+                )
+                ok = np.asarray(ok)[:row_ptr]
+                if not ok.all():  # pragma: no cover - >64 ICFL levels/row
+                    h1 = np.asarray(h1).copy()
+                    fac_count = np.asarray(fac_count).copy()
+                    from fpmash_tpu.scalar.lyndon import FACTORIZATIONS
+
+                    fn = FACTORIZATIONS[factorization]
+                    for b in np.nonzero(~ok)[0]:
+                        s = batch[b, : lengths[b]].tobytes().decode("latin-1")
+                        vec = [len(f) for f in fn(s) if f not in ("<<", ">>")]
+                        h1[b] = _hash_u64_vectors([vec], p.seed, True, "scalar")[0]
+                        fac_count[b] = len(vec)
+            elif jax.default_backend() != "cpu" and batch.shape[1] <= 128:
                 # fused Pallas kernel: Duval + murmur in one VMEM pass
                 # (1.7x the split XLA pipeline on-chip)
                 try:

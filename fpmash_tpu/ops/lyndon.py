@@ -168,6 +168,17 @@ def cfl_lengths_sa(batch: jax.Array, lengths: jax.Array):
 
 
 @partial(jax.jit, static_argnames=())
+def cfl_boundary_mask(batch: jax.Array, lengths: jax.Array) -> jax.Array:
+    """Duval factor-start positions as a ``bool[B, L]`` mask.
+
+    The mask form composes: the CFL_ICFL and *_COMB factorization families
+    are unions of boundary masks (see :mod:`fpmash_tpu.ops.factorize`).
+    """
+    L = batch.shape[1]
+    n = lengths.astype(jnp.int32)
+    return unpack_boundary_words(_cfl_boundary_words(batch, n), n)[:, :L]
+
+
 def cfl_lengths_onehot(batch: jax.Array, lengths: jax.Array):
     """Duval scan with explicit one-hot gathers — the TPU-tuned variant.
 
@@ -188,6 +199,18 @@ def cfl_lengths_onehot(batch: jax.Array, lengths: jax.Array):
     :func:`cfl_lengths_sa`).
     """
     n = lengths.astype(jnp.int32)
+    L = batch.shape[1]
+    words = _cfl_boundary_words(batch, n)
+    boundary = unpack_boundary_words(words, n)[:, :L]
+    return lengths_from_boundary(boundary, n)
+
+
+cfl_lengths_onehot = jax.jit(cfl_lengths_onehot)
+
+
+def _cfl_boundary_words(batch: jax.Array, n: jax.Array) -> jax.Array:
+    """Core Duval automaton; returns packed ``u32[B, ceil(L/32)]`` boundary
+    bits (factor starts)."""
     B, L = batch.shape
     W = (L + 31) // 32  # boundary words
     max_steps = 3 * L + 2
@@ -270,12 +293,30 @@ def cfl_lengths_onehot(batch: jax.Array, lengths: jax.Array):
         jnp.zeros((B, W), jnp.uint32),
     )
     _, _, _, _, _, words = jax.lax.while_loop(cond, body, init)
+    return words
 
-    # unpack bits: boundary[b, l] = words[b, l>>5] >> (l & 31) & 1
-    word_of = jnp.repeat(words, 32, axis=1)[:, :L]
+
+def unpack_boundary_words(words: jax.Array, n: jax.Array) -> jax.Array:
+    """``u32[B, ceil(L/32)]`` packed boundary bits -> ``bool[B, L]`` mask
+    (masked to each row's valid length)."""
+    B, W = words.shape
+    L = W * 32
+    iota = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
+    word_of = jnp.repeat(words, 32, axis=1)
     boundary = ((word_of >> (iota.astype(jnp.uint32) & jnp.uint32(31))) & jnp.uint32(1)) > 0
-    boundary = boundary & in_row
+    return boundary & (iota < n[:, None])
 
+
+def lengths_from_boundary(boundary: jax.Array, n: jax.Array):
+    """Factor-start ``bool[B, Lb]`` mask -> ``(fac_len[B, Lb], fac_count[B])``.
+
+    Factor lengths are the gaps between consecutive set bits (compacted to
+    the left with one sort), clipped to the row length — the shared epilogue
+    of every boundary-producing factorization kernel.
+    """
+    B, L = boundary.shape
+    iota = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
+    boundary = boundary & (iota < n[:, None])
     bpos = jnp.where(boundary, iota, L)
     bpos = jnp.sort(bpos, axis=-1)
     nxt = jnp.concatenate([bpos[:, 1:], jnp.full((B, 1), L, jnp.int32)], axis=1)
