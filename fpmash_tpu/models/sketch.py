@@ -276,8 +276,12 @@ class Sketch:
                 # algebra; ops/factorize.py), then the same murmur pipeline
                 from fpmash_tpu.ops.factorize import factor_lengths_device
 
+                uniform = bool(
+                    ((lengths == batch.shape[1]) | (lengths == 0)).all()
+                )
                 fac_len, fac_count, ok = factor_lengths_device(
-                    jnp.asarray(batch), jnp.asarray(lengths), factorization
+                    jnp.asarray(batch), jnp.asarray(lengths), factorization,
+                    uniform,
                 )
                 h1, _ = murmur3_u64_batch(
                     fac_len.astype(jnp.uint64), fac_count, seed=p.seed

@@ -69,24 +69,52 @@ def _base_mask(batch, n, base: str, threshold):
     return cfl_icfl_boundary_mask(batch, n, threshold)
 
 
-def _revcomp_batch(batch, n):
-    """Per-row reverse complement of the valid prefix, re-packed left."""
+def _complement(b):
+    """Byte complement as a 5-way select chain — TPU gathers scalarize, so
+    the 256-entry table is applied with compares instead."""
+    A, C, G, T = (jnp.uint8(ord(x)) for x in "ACGT")
+    N = jnp.uint8(ord("N"))
+    z = jnp.uint8(0)
+    return jnp.where(
+        b == A, T,
+        jnp.where(b == T, A,
+                  jnp.where(b == C, G,
+                            jnp.where(b == G, C, jnp.where(b == z, z, N)))),
+    )
+
+
+def _revcomp_batch(batch, n, uniform: bool = False):
+    """Per-row reverse complement of the valid prefix, re-packed left.
+
+    ``uniform=True`` (static) asserts every row has ``n == L`` — the
+    production shift-window case — and lowers to a static reverse with no
+    gather; the general case pays one ``take_along_axis``.
+    """
     B, L = batch.shape
+    if uniform:
+        return _complement(batch[:, ::-1])
     iota = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
     idx = jnp.clip(n[:, None] - 1 - iota, 0, L - 1)
     rev = jnp.take_along_axis(batch, idx, axis=1)
-    rc = jnp.asarray(_RC_LUT)[rev]
+    rc = _complement(rev)
     return jnp.where(iota < n[:, None], rc, 0).astype(jnp.uint8)
 
 
-def _flip_mask(mask, n):
+def _flip_mask(mask, n, uniform: bool = False):
     """Map rc-coordinate factor starts to forward cut positions ``n - c``.
 
     Interior rc cuts (positions >= 1) flip to forward interior cuts; the
     rc start bit 0 flips to position n (not a boundary).  Bit 0 of the
-    result is owned by the caller's forward mask.
+    result is owned by the caller's forward mask.  ``uniform=True``
+    (static, all rows full-width) uses a static reverse+shift, no gather.
     """
     B, L = mask.shape
+    if uniform:
+        # flipped[q] = mask[L - q] for q in [1, L-1] == reverse(mask)[q-1]
+        shifted = jnp.concatenate(
+            [jnp.zeros((B, 1), bool), mask[:, ::-1][:, : L - 1]], axis=1
+        )
+        return shifted
     iota = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
     src = n[:, None] - iota
     valid = (iota >= 1) & (src >= 1)  # q in [1, n-1] <=> src in [1, n-1]
@@ -94,32 +122,38 @@ def _flip_mask(mask, n):
     return flipped & valid
 
 
-@partial(jax.jit, static_argnames=("family",))
-def factor_boundary_mask(batch: jax.Array, lengths: jax.Array, family: str):
+@partial(jax.jit, static_argnames=("family", "uniform"))
+def factor_boundary_mask(
+    batch: jax.Array, lengths: jax.Array, family: str, uniform: bool = False
+):
     """Factor-start mask for any of the 10 families.
 
     Returns ``(mask bool[B, L], ok bool[B])``; rows with ``ok=False``
     (ICFL level-capacity overflow — unobserved on DNA) must be recomputed
-    by the caller with the scalar model.
+    by the caller with the scalar model.  ``uniform=True`` (static) asserts
+    every row is full-width (``n == L``) or empty (``n == 0``) — the
+    shift-window production shape — enabling gather-free COMB flips.
     """
     base, threshold, comb = FAMILY_PLANS[family]
     n = lengths.astype(jnp.int32)
     mask, ok = _base_mask(batch, n, base, threshold)
     if comb:
-        rc = _revcomp_batch(batch, n)
+        rc = _revcomp_batch(batch, n, uniform)
         # reference quirk: the rc side always uses the default threshold
         rc_thr = 30 if base == "cfl_icfl" else threshold
         rc_mask, rc_ok = _base_mask(rc, n, base, rc_thr)
-        mask = mask | _flip_mask(rc_mask, n)
+        mask = mask | _flip_mask(rc_mask, n, uniform)
         ok = ok & rc_ok
     return mask, ok
 
 
-@partial(jax.jit, static_argnames=("family",))
-def factor_lengths_device(batch: jax.Array, lengths: jax.Array, family: str):
+@partial(jax.jit, static_argnames=("family", "uniform"))
+def factor_lengths_device(
+    batch: jax.Array, lengths: jax.Array, family: str, uniform: bool = False
+):
     """Factor lengths for any family: ``(fac_len[B, L], fac_count[B], ok[B])``."""
     n = lengths.astype(jnp.int32)
-    mask, ok = factor_boundary_mask(batch, n, family)
+    mask, ok = factor_boundary_mask(batch, n, family, uniform)
     fac_len, fac_count = lengths_from_boundary(mask, n)
     return fac_len, fac_count, ok
 
@@ -134,8 +168,9 @@ def factorize_windows_device(windows, family: str):
     from fpmash_tpu.scalar.lyndon import FACTORIZATIONS
 
     arr, lens = encode_batch(windows)
+    uniform = bool(((lens == arr.shape[1]) | (lens == 0)).all())
     fac_len, fac_count, ok = jax.device_get(
-        factor_lengths_device(jnp.asarray(arr), jnp.asarray(lens), family)
+        factor_lengths_device(jnp.asarray(arr), jnp.asarray(lens), family, uniform)
     )
     out = []
     fn = FACTORIZATIONS[family]

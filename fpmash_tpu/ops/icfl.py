@@ -76,8 +76,8 @@ def icfl_boundary_words(
     seg_start: jax.Array,
     seg_len: jax.Array,
     nseg: jax.Array,
-    lv: int = 64,
-    unroll: int = 4,
+    lv: int = 32,
+    unroll: int = 8,
 ):
     """Run the ICFL automaton over per-row segment lists.
 
@@ -123,25 +123,33 @@ def icfl_boundary_words(
         sh = (col.astype(jnp.uint32) & jnp.uint32(3)) * jnp.uint32(8)
         return ((word >> sh) & jnp.uint32(0xFF)).astype(jnp.int32)
 
-    # st[] (longest-border-so-far per relative position) packed 2 x 16 bits
-    SW = (L + 1) // 2
+    # st[] (longest-border-so-far per relative position): values < L, so
+    # pack 4 x 8-bit when L <= 256 (halves the dominant per-step RMW
+    # traffic), else 2 x 16-bit
+    if L <= 256:
+        st_per, st_shift_bits, st_mask = 4, 3, jnp.uint32(0xFF)
+        st_idx_shift, st_lane_mask = 2, jnp.uint32(3)
+    else:
+        st_per, st_shift_bits, st_mask = 2, 4, jnp.uint32(0xFFFF)
+        st_idx_shift, st_lane_mask = 1, jnp.uint32(1)
+    SW = (L + st_per - 1) // st_per
     siota = jax.lax.broadcasted_iota(jnp.int32, (B, SW), 1)
 
     def st_read(st, pos):
         pos = jnp.clip(pos, 0, L - 1)
         word = jnp.sum(
-            jnp.where(siota == (pos[:, None] >> 1), st, jnp.uint32(0)),
+            jnp.where(siota == (pos[:, None] >> st_idx_shift), st, jnp.uint32(0)),
             axis=1,
             dtype=jnp.uint32,
         )
-        sh = (pos.astype(jnp.uint32) & jnp.uint32(1)) * jnp.uint32(16)
-        return ((word >> sh) & jnp.uint32(0xFFFF)).astype(jnp.int32)
+        sh = (pos.astype(jnp.uint32) & st_lane_mask) << st_shift_bits
+        return ((word >> sh) & st_mask).astype(jnp.int32)
 
     def st_write(st, pos, val, enable):
         pos = jnp.clip(pos, 0, L - 1)
-        tgt = siota == (pos[:, None] >> 1)
-        sh = ((pos.astype(jnp.uint32) & jnp.uint32(1)) * jnp.uint32(16))[:, None]
-        keep = ~(jnp.uint32(0xFFFF) << sh)
+        tgt = siota == (pos[:, None] >> st_idx_shift)
+        sh = (((pos.astype(jnp.uint32) & st_lane_mask)) << st_shift_bits)[:, None]
+        keep = ~(st_mask << sh)
         new = (st & keep) | (val.astype(jnp.uint32)[:, None] << sh)
         return jnp.where(enable[:, None] & tgt, new, st)
 
@@ -185,7 +193,6 @@ def icfl_boundary_words(
             | (seg_n.astype(jnp.uint32) << _F)
             | _MARKER
         )
-        lev, nlev, ok = lev_commit(lev, nlev, ok, marker_val, finish)
         seg_idx_f = seg_idx + 1
         row_done = finish & (seg_idx_f >= nseg)
         base_f = seg_get(seg_start, seg_idx_f)
@@ -204,7 +211,11 @@ def icfl_boundary_words(
             | (p_len.astype(jnp.uint32) << _F)
             | (best.astype(jnp.uint32) << (2 * _F))
         )
-        lev, nlev, ok = lev_commit(lev, nlev, ok, lev_val, commit)
+        # finish and commit are mutually exclusive (SCAN vs CHAIN), so one
+        # masked pass over the level array serves both records
+        lev, nlev, ok = lev_commit(
+            lev, nlev, ok, jnp.where(finish, marker_val, lev_val), finish | commit
+        )
 
         # ---------- next state ----------
         phase_n = jnp.where(
