@@ -271,21 +271,47 @@ class Sketch:
 
         with trace("factorize+hash", windows=row_ptr):
             h1 = fac_count = None
+            allowed = np.zeros(256, bool)
+            allowed[np.frombuffer(b"\x00ACGT", dtype=np.uint8)] = True
+            pure_dna = bool(allowed[batch].all())
+            uniform = bool(((lengths == batch.shape[1]) | (lengths == 0)).all())
             if factorization != "CFL":
-                # family-composed boundary kernels (ICFL automaton + mask
-                # algebra; ops/factorize.py), then the same murmur pipeline
-                from fpmash_tpu.ops.factorize import factor_lengths_device
+                ok = None
+                if (
+                    jax.default_backend() != "cpu"
+                    and uniform
+                    and batch.shape[1] <= 127
+                    and factorization in ("ICFL", "ICFL_COMB")
+                ):
+                    # fully fused Pallas pipeline: ICFL automaton (+ rc run
+                    # and flip for COMB) -> boundary words -> murmur, all
+                    # in VMEM (ops/icfl_pallas.py)
+                    try:
+                        from fpmash_tpu.ops.icfl_pallas import (
+                            icfl_family_hashes_fused,
+                        )
 
-                uniform = bool(
-                    ((lengths == batch.shape[1]) | (lengths == 0)).all()
-                )
-                fac_len, fac_count, ok = factor_lengths_device(
-                    jnp.asarray(batch), jnp.asarray(lengths), factorization,
-                    uniform,
-                )
-                h1, _ = murmur3_u64_batch(
-                    fac_len.astype(jnp.uint64), fac_count, seed=p.seed
-                )
+                        h1, _, fac_count, ok = icfl_family_hashes_fused(
+                            jnp.asarray(batch),
+                            jnp.asarray(lengths),
+                            family=factorization,
+                            seed=p.seed,
+                            pack="dna16" if pure_dna else "byte4",
+                        )
+                    except Exception:
+                        h1 = fac_count = ok = None
+                if h1 is None:
+                    # family-composed boundary kernels (ICFL automaton +
+                    # mask algebra; ops/factorize.py) + murmur pipeline
+                    from fpmash_tpu.ops.factorize import factor_lengths_device
+
+                    fac_len, fac_count, ok = factor_lengths_device(
+                        jnp.asarray(batch), jnp.asarray(lengths), factorization,
+                        uniform,
+                    )
+                    h1, _ = murmur3_u64_batch(
+                        fac_len.astype(jnp.uint64), fac_count, seed=p.seed
+                    )
                 ok = np.asarray(ok)[:row_ptr]
                 if not ok.all():  # pragma: no cover - >64 ICFL levels/row
                     h1 = np.asarray(h1).copy()
@@ -304,14 +330,9 @@ class Sketch:
                 try:
                     from fpmash_tpu.ops.fused_pallas import fingerprint_hashes_fused
 
-                    # pure-ACGT batches take the 16-chars-per-word 2-bit
-                    # packing (~2x faster select than the generic byte4);
-                    # one O(N) table lookup, not a sort (the batch can be
-                    # 1M x Lmax bytes — np.unique's sort was a multi-second
-                    # host stall inside the timed section)
-                    allowed = np.zeros(256, bool)
-                    allowed[np.frombuffer(b"\x00ACGT", dtype=np.uint8)] = True
-                    pure_dna = bool(allowed[batch].all())
+                    # pure-ACGT batches (checked above with one O(N) table
+                    # lookup) take the 16-chars-per-word 2-bit packing
+                    # (~2x faster select than the generic byte4)
                     h1, _, fac_count = fingerprint_hashes_fused(
                         jnp.asarray(batch),
                         jnp.asarray(lengths),
