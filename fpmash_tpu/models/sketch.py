@@ -270,6 +270,12 @@ class Sketch:
             row_ptr += max(take, 0)
 
         with trace("factorize+hash", windows=row_ptr):
+            # every kernel dispatch below goes through shard_rows: with >1
+            # visible device the window batch data-parallelizes over a 1-D
+            # dp mesh (row-independent -> bitwise-identical results); with
+            # one device it is a plain call
+            from fpmash_tpu.parallel.sharded import shard_rows
+
             h1 = fac_count = None
             allowed = np.zeros(256, bool)
             allowed[np.frombuffer(b"\x00ACGT", dtype=np.uint8)] = True
@@ -291,12 +297,15 @@ class Sketch:
                             icfl_family_hashes_fused,
                         )
 
-                        h1, _, fac_count, ok = icfl_family_hashes_fused(
-                            jnp.asarray(batch),
-                            jnp.asarray(lengths),
-                            family=factorization,
-                            seed=p.seed,
-                            pack="dna16" if pure_dna else "byte4",
+                        h1, _, fac_count, ok = shard_rows(
+                            lambda b, l: icfl_family_hashes_fused(
+                                b,
+                                l,
+                                family=factorization,
+                                seed=p.seed,
+                                pack="dna16" if pure_dna else "byte4",
+                            ),
+                            (batch, lengths),
                         )
                     except Exception:
                         h1 = fac_count = ok = None
@@ -305,12 +314,17 @@ class Sketch:
                     # mask algebra; ops/factorize.py) + murmur pipeline
                     from fpmash_tpu.ops.factorize import factor_lengths_device
 
-                    fac_len, fac_count, ok = factor_lengths_device(
-                        jnp.asarray(batch), jnp.asarray(lengths), factorization,
-                        uniform,
-                    )
-                    h1, _ = murmur3_u64_batch(
-                        fac_len.astype(jnp.uint64), fac_count, seed=p.seed
+                    def _split_family(b, l):
+                        fac_len, fac_count, ok = factor_lengths_device(
+                            b, l, factorization, uniform
+                        )
+                        h1, _ = murmur3_u64_batch(
+                            fac_len.astype(jnp.uint64), fac_count, seed=p.seed
+                        )
+                        return h1, fac_count, ok
+
+                    h1, fac_count, ok = shard_rows(
+                        _split_family, (batch, lengths)
                     )
                 ok = np.asarray(ok)[:row_ptr]
                 if not ok.all():  # pragma: no cover - >64 ICFL levels/row
@@ -333,21 +347,26 @@ class Sketch:
                     # pure-ACGT batches (checked above with one O(N) table
                     # lookup) take the 16-chars-per-word 2-bit packing
                     # (~2x faster select than the generic byte4)
-                    h1, _, fac_count = fingerprint_hashes_fused(
-                        jnp.asarray(batch),
-                        jnp.asarray(lengths),
-                        seed=p.seed,
-                        pack="dna16" if pure_dna else "byte4",
+                    h1, _, fac_count = shard_rows(
+                        lambda b, l: fingerprint_hashes_fused(
+                            b,
+                            l,
+                            seed=p.seed,
+                            pack="dna16" if pure_dna else "byte4",
+                        ),
+                        (batch, lengths),
                     )
                 except Exception:
                     h1 = fac_count = None
             if h1 is None:
-                fac_len, fac_count = cfl_lengths_onehot(
-                    jnp.asarray(batch), jnp.asarray(lengths)
-                )
-                h1, _ = murmur3_u64_batch(
-                    fac_len.astype(jnp.uint64), fac_count, seed=p.seed
-                )
+                def _split_cfl(b, l):
+                    fac_len, fac_count = cfl_lengths_onehot(b, l)
+                    h1, _ = murmur3_u64_batch(
+                        fac_len.astype(jnp.uint64), fac_count, seed=p.seed
+                    )
+                    return h1, fac_count
+
+                h1, fac_count = shard_rows(_split_cfl, (batch, lengths))
         h1 = np.asarray(h1)[:row_ptr]
         if not p.use64:
             h1 = h1 & np.uint64(0xFFFFFFFF)

@@ -88,7 +88,15 @@ def all_pairs_common_denom(refs, qrys, sketch_size: int, tile: int = 128):
     per-pair intermediates stay bounded at large scale (a 128x128 tile at
     S=1000 keeps the vmapped [tile, tile, S] comparisons ~65 MB); 10k x 10k
     sketches stream through as ~6.4k tiles reusing one compiled shape.
+
+    With multiple visible devices the query axis of each tile shards over a
+    1-D ``dp`` mesh (tiles widen to ``D x tile`` queries, each device
+    computing its own ``tile x tile`` block; ``parallel.sharded``), so
+    `dist`/`triangle`/`screen` scale across chips with no CLI changes.
+    Results are bitwise identical to the single-device run.
     """
+    from fpmash_tpu.parallel.sharded import sharded_all_pairs, visible_device_count
+
     S = max(
         max((len(a) for a in refs), default=1),
         max((len(a) for a in qrys), default=1),
@@ -97,7 +105,8 @@ def all_pairs_common_denom(refs, qrys, sketch_size: int, tile: int = 128):
     R, Q = len(refs), len(qrys)
     ref, ref_len = _pad_batch(refs, S)
     qry, qry_len = _pad_batch(qrys, S)
-    if R * Q <= tile * tile:
+    D = visible_device_count()
+    if D <= 1 and R * Q <= tile * tile:
         common, denom = pairwise_common_denom(
             jnp.asarray(ref),
             jnp.asarray(ref_len),
@@ -107,9 +116,14 @@ def all_pairs_common_denom(refs, qrys, sketch_size: int, tile: int = 128):
         )
         return np.asarray(common), np.asarray(denom)
 
-    # fixed-shape tiles (padded) so every tile hits the same executable
-    Rp = ((R + tile - 1) // tile) * tile
-    Qp = ((Q + tile - 1) // tile) * tile
+    # fixed-shape tiles (padded) so every tile hits the same executable;
+    # per-device query-tile width qd keeps small grids from inflating to
+    # D full tiles of padding
+    rtile = min(tile, R)
+    qd = min(tile, -(-Q // D))
+    qtile = qd * D
+    Rp = ((R + rtile - 1) // rtile) * rtile
+    Qp = ((Q + qtile - 1) // qtile) * qtile
     refp = np.full((Rp, S), np.uint64(0xFFFFFFFFFFFFFFFF), np.uint64)
     refp[:R] = ref
     reflp = np.zeros(Rp, np.int32)
@@ -119,19 +133,28 @@ def all_pairs_common_denom(refs, qrys, sketch_size: int, tile: int = 128):
     qrylp = np.zeros(Qp, np.int32)
     qrylp[:Q] = qry_len
 
+    mesh = None
+    if D > 1:
+        from fpmash_tpu.parallel.mesh import default_mesh
+
+        mesh = default_mesh(D)
+
     common = np.zeros((R, Q), np.int32)
     denom = np.zeros((R, Q), np.int32)
-    for r0 in range(0, Rp, tile):
-        for q0 in range(0, Qp, tile):
-            c, d = pairwise_common_denom(
-                jnp.asarray(refp[r0 : r0 + tile]),
-                jnp.asarray(reflp[r0 : r0 + tile]),
-                jnp.asarray(qryp[q0 : q0 + tile]),
-                jnp.asarray(qrylp[q0 : q0 + tile]),
-                sketch_size=sketch_size,
+    for r0 in range(0, Rp, rtile):
+        for q0 in range(0, Qp, qtile):
+            tiles = (
+                jnp.asarray(refp[r0 : r0 + rtile]),
+                jnp.asarray(reflp[r0 : r0 + rtile]),
+                jnp.asarray(qryp[q0 : q0 + qtile]),
+                jnp.asarray(qrylp[q0 : q0 + qtile]),
             )
+            if mesh is not None:
+                c, d = sharded_all_pairs(mesh, *tiles, sketch_size)
+            else:
+                c, d = pairwise_common_denom(*tiles, sketch_size=sketch_size)
             rlo, qlo = r0, q0
-            rhi, qhi = min(r0 + tile, R), min(q0 + tile, Q)
+            rhi, qhi = min(r0 + rtile, R), min(q0 + qtile, Q)
             common[rlo:rhi, qlo:qhi] = np.asarray(c)[: rhi - rlo, : qhi - qlo]
             denom[rlo:rhi, qlo:qhi] = np.asarray(d)[: rhi - rlo, : qhi - qlo]
     return common, denom
@@ -167,7 +190,19 @@ def pairwise_positional(hashes: jax.Array, lens: jax.Array):
 
 def all_pairs_positional(fingerprint_hashes):
     """Host wrapper: list of (unsorted) hash arrays -> (matches, minlen)
-    [N, N] for the fingerprint triangle."""
+    [N, N] for the fingerprint triangle.  With multiple visible devices the
+    row axis shards over the dp mesh (bitwise-identical results)."""
+    from fpmash_tpu.parallel.sharded import (
+        sharded_all_pairs_positional,
+        visible_device_count,
+    )
+
     h, lens = _pad_batch(fingerprint_hashes)
+    D = visible_device_count()
+    if D > 1 and len(fingerprint_hashes) >= D:
+        from fpmash_tpu.parallel.mesh import default_mesh
+
+        m, n = sharded_all_pairs_positional(default_mesh(D), h, lens)
+        return np.asarray(m), np.asarray(n)
     m, n = pairwise_positional(jnp.asarray(h), jnp.asarray(lens))
     return np.asarray(m), np.asarray(n)

@@ -19,6 +19,7 @@ Everything here is ``shard_map`` over a 1-D ``dp`` mesh:
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -29,8 +30,65 @@ from jax import shard_map
 from fpmash_tpu.ops.compare import pairwise_common_denom
 from fpmash_tpu.ops.lyndon import cfl_lengths_onehot as cfl_lengths
 from fpmash_tpu.ops.murmur3 import murmur3_u64_batch
+from fpmash_tpu.parallel.mesh import default_mesh
 
 _U64MAX = jnp.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def visible_device_count() -> int:
+    """Devices the auto-sharding layer may use.
+
+    ``FPMASH_DEVICES=N`` caps it (the multi-chip analog of the reference's
+    ``-p`` thread knob); the CLI paths consult this so the same command
+    transparently data-parallelizes over however many chips are attached.
+    """
+    try:
+        n = jax.device_count()
+    except Exception:  # pragma: no cover - no backend at all
+        return 1
+    cap = os.environ.get("FPMASH_DEVICES", "").strip()
+    if cap:
+        n = max(1, min(n, int(cap)))
+    return n
+
+
+def shard_rows(fn, arrays):
+    """Run ``fn(*arrays)`` data-parallel over the visible devices, sharding
+    every input and output along its leading (row) axis.
+
+    The inputs share a common leading dimension ``B``; it is padded up to a
+    multiple of the device count (the row kernels treat zero rows as empty
+    — same convention as the over-allocated batch tails), ``fn`` runs under
+    ``shard_map`` on a 1-D ``dp`` mesh with no cross-device traffic, and the
+    outputs are sliced back to ``B`` rows.  With one visible device this is
+    exactly ``fn(*arrays)``.  Results are bitwise identical to the
+    single-device run because the computation is row-independent.
+    """
+    D = visible_device_count()
+    arrays = [jnp.asarray(a) for a in arrays]
+    if D <= 1:
+        return fn(*arrays)
+    B = arrays[0].shape[0]
+    Bp = -(-B // D) * D
+    padded = []
+    for a in arrays:
+        if a.shape[0] != Bp:
+            pad = [(0, Bp - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
+            a = jnp.pad(a, pad)
+        padded.append(a)
+    out_tree = jax.eval_shape(fn, *padded)
+    mesh = default_mesh(D)
+    sm = shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=tuple(P("dp", *([None] * (a.ndim - 1))) for a in padded),
+        out_specs=jax.tree.map(
+            lambda l: P("dp", *([None] * (l.ndim - 1))), out_tree
+        ),
+        check_vma=False,
+    )
+    outs = sm(*padded)
+    return jax.tree.map(lambda o: o[:B], outs)
 
 
 def _fused_fingerprint_hashes(windows, lengths, seed: int):
@@ -91,24 +149,74 @@ def sharded_bottom_k(mesh: Mesh, hashes, valid, s: int):
     return fn(hashes, valid)
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def _sharded_all_pairs_fn(mesh: Mesh, sketch_size: int):
+    def shard_fn(r, rl, q, ql):
+        return pairwise_common_denom(r, rl, q, ql, sketch_size=sketch_size)
+
+    return jax.jit(
+        shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(P(), P(), P("dp", None), P("dp")),
+            out_specs=(P(None, "dp"), P(None, "dp")),
+            check_vma=False,
+        )
+    )
+
+
 def sharded_all_pairs(mesh: Mesh, ref, ref_len, qry, qry_len, sketch_size: int):
     """common/denom for all (ref, query) pairs with queries sharded.
 
     ``ref[R, S]`` is replicated; ``qry[Q, S]`` shards over dp; each device
-    computes its [R, Q/D] tile; output shards along the query axis.
+    computes its [R, Q/D] tile; output shards along the query axis.  The
+    jitted shard_map is cached per (mesh, sketch_size) so tile loops reuse
+    one executable.
     """
+    return _sharded_all_pairs_fn(mesh, sketch_size)(ref, ref_len, qry, qry_len)
 
-    def shard_fn(r, rl, q, ql):
-        return pairwise_common_denom(r, rl, q, ql, sketch_size=sketch_size)
 
-    fn = shard_map(
-        shard_fn,
-        mesh=mesh,
-        in_specs=(P(), P(), P("dp", None), P("dp")),
-        out_specs=(P(None, "dp"), P(None, "dp")),
-        check_vma=False,
+@lru_cache(maxsize=None)
+def _sharded_positional_fn(mesh: Mesh):
+    def shard_fn(rows, row_lens, table, table_lens):
+        # rows [N/D, S] shard; table [N, S] replicated; per-device tile
+        # [N/D, N] of positional matches (same math as
+        # ops.compare.pairwise_positional's inner fn)
+        def one(a, la):
+            n = jnp.minimum(la, table_lens)  # [N]
+            idx = jnp.arange(table.shape[-1], dtype=jnp.int32)
+            eq = (a[None, :] == table) & (idx[None, :] < n[:, None])
+            return jnp.sum(eq.astype(jnp.int32), axis=-1), n
+
+        return jax.vmap(one)(rows, row_lens)
+
+    return jax.jit(
+        shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(P("dp", None), P("dp"), P(), P()),
+            out_specs=(P("dp", None), P("dp", None)),
+            check_vma=False,
+        )
     )
-    return fn(ref, ref_len, qry, qry_len)
+
+
+def sharded_all_pairs_positional(mesh: Mesh, hashes, lens):
+    """All-pairs positional fingerprint matches with the row axis sharded
+    (the `triangle -fp` comparison, CommandTriangle.cpp:265): each device
+    owns N/D rows and compares them against the replicated table."""
+    D = mesh.devices.size
+    N = hashes.shape[0]
+    Np = -(-N // D) * D
+    h = jnp.asarray(hashes)
+    l = jnp.asarray(lens)
+    hp = jnp.pad(h, ((0, Np - N), (0, 0))) if Np != N else h
+    lp = jnp.pad(l, (0, Np - N)) if Np != N else l
+    m, n = _sharded_positional_fn(mesh)(hp, lp, h, l)
+    return m[:N], n[:N]
 
 
 def pipeline_step(mesh: Mesh, windows, lengths, ref, ref_len, *, seed: int = 42,
