@@ -48,6 +48,110 @@ def alphabet_mask(alphabet: str) -> np.ndarray:
 
 @partial(
     jax.jit,
+    static_argnames=("k", "noncanonical", "preserve_case", "seed"),
+)
+def _kmer_hashes_acgt(
+    seq: jax.Array,
+    length: jax.Array,
+    *,
+    k: int,
+    noncanonical: bool,
+    preserve_case: bool,
+    seed: int,
+):
+    """Lane-parallel DNA k-mer hashing (k <= 32): the whole window is kept
+    as one 2-bit-packed u64 per position, so canonical selection is a
+    single 64-bit min and no ``[N, k]`` byte matrix is ever materialized
+    (the gather formulation's 21x memory blowup OOM'd VMEM on chip).
+
+    Steps, all elementwise over ``[N]`` vectors (XLA fuses into one pass):
+
+    1. 2-bit order-preserving codes A<C<G<T (code order == ASCII order, so
+       integer comparison == memcmp, Sketch.cpp:721-723).
+    2. ``F`` = big-endian packed window via k static shifted ORs;
+       ``R`` = packed reverse complement (complement = code ^ 3, reversal
+       by symmetric shift placement).
+    3. canonical packed value = min(F, R)  (64-bit compare).
+    4. ASCII byte reconstruction (3 selects per byte) into the
+       little-endian u64 words MurmurHash3_x64_128 consumes.
+    5. statically unrolled murmur blocks + tail (k is static).
+    """
+    from fpmash_tpu.ops.murmur3 import (
+        _block_update,
+        _finalize,
+        _mix_k1,
+        _mix_k2,
+    )
+
+    N = seq.shape[0]
+    seq = seq.astype(jnp.uint8)
+    length = length.astype(jnp.int32)
+    if not preserve_case:
+        lower = (seq > 96) & (seq < 123)
+        seq = jnp.where(lower, seq - 32, seq)
+
+    code = jnp.full(seq.shape, 4, jnp.uint32)
+    for v, ch in enumerate(b"ACGT"):
+        code = jnp.where(seq == jnp.uint8(ch), jnp.uint32(v), code)
+    valid_char = code < 4
+    c64 = jnp.minimum(code, 3).astype(jnp.uint64)
+
+    F = jnp.zeros((N,), jnp.uint64)
+    R = jnp.zeros((N,), jnp.uint64)
+    valid = valid_char
+    for i in range(k):
+        ci = jnp.roll(c64, -i) if i else c64
+        F = F | (ci << jnp.uint64(2 * (k - 1 - i)))
+        if not noncanonical:
+            R = R | ((ci ^ jnp.uint64(3)) << jnp.uint64(2 * i))
+        if i:
+            valid = valid & jnp.roll(valid_char, -i)
+    pos = jnp.arange(N, dtype=jnp.int32)
+    valid = valid & (pos <= length - k)
+
+    P = F if noncanonical else jnp.minimum(F, R)
+
+    # canonical packed codes -> ASCII bytes -> little-endian u64 words
+    nwords = (k + 7) // 8
+    if nwords % 2:
+        nwords += 1  # murmur reads word pairs; extra word is zero
+    words = []
+    for w in range(nwords):
+        acc = jnp.zeros((N,), jnp.uint64)
+        for m in range(8):
+            j = w * 8 + m
+            if j >= k:
+                break
+            d = (P >> jnp.uint64(2 * (k - 1 - j))) & jnp.uint64(3)
+            b = jnp.where(
+                d == 0,
+                jnp.uint64(ord("A")),
+                jnp.where(
+                    d == 1,
+                    jnp.uint64(ord("C")),
+                    jnp.where(d == 2, jnp.uint64(ord("G")), jnp.uint64(ord("T"))),
+                ),
+            )
+            acc = acc | (b << jnp.uint64(8 * m))
+        words.append(acc)
+
+    seed64 = jnp.uint64(seed)
+    h1 = jnp.full((N,), seed64)
+    h2 = jnp.full((N,), seed64)
+    nblocks = k // 16
+    tail = k % 16
+    for blk in range(nblocks):
+        h1, h2 = _block_update(h1, h2, words[2 * blk], words[2 * blk + 1])
+    if tail > 8:
+        h2 = h2 ^ _mix_k2(words[2 * nblocks + 1])
+    if tail > 0:
+        h1 = h1 ^ _mix_k1(words[2 * nblocks])
+    h1, _ = _finalize(h1, h2, jnp.uint64(k))
+    return h1, valid
+
+
+@partial(
+    jax.jit,
     static_argnames=("alphabet", "k", "noncanonical", "preserve_case", "seed", "use64"),
 )
 def kmer_hashes(
@@ -68,7 +172,20 @@ def kmer_hashes(
     outside the alphabet, or extending past ``length``, are invalid
     (Sketch.cpp:696-713).  ``use64`` only controls the truncation done by
     the caller; the full 64-bit h1 is always returned.
+
+    The default DNA alphabet takes the packed lane-parallel fast path
+    (:func:`_kmer_hashes_acgt`); other alphabets (protein, custom ``-z``)
+    use the generic gather formulation below.
     """
+    if set(alphabet) == set("ACGT") and k <= 32:
+        return _kmer_hashes_acgt(
+            seq,
+            length,
+            k=k,
+            noncanonical=noncanonical,
+            preserve_case=preserve_case,
+            seed=seed,
+        )
     N = seq.shape[0]
     seq = seq.astype(jnp.uint8)
 
