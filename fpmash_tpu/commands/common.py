@@ -48,7 +48,8 @@ def parse_size(text: str | None) -> int:
     text = text.strip().upper()
     mult = 1
     if text and text[-1] in "KMGT":
-        mult = 1024 ** ("KMGT".index(text[-1]) + 1)
+        # decimal multipliers, like the reference (Command.cpp:124-127)
+        mult = 1000 ** ("KMGT".index(text[-1]) + 1)
         text = text[:-1]
     return int(float(text) * mult)
 
@@ -72,10 +73,12 @@ def sketch_params_from_args(args, fingerprint: bool = False) -> SketchParams:
     if args.bloom is not None or args.min_cov > 1 or args.target_cov > 0 or args.genome:
         p = _set(p, reads=True)
     if args.bloom is not None:
-        # The reference's bloom filter approximates "admit at multiplicity
-        # >= 2" under a memory bound (MinHashHeap.cpp:19-41,78-95); the
-        # batch engine counts exactly, so -b maps to exact min_cov 2.
-        p = _set(p, min_cov=max(2, args.min_cov))
+        # Memory-bounded approximate admission (MinHashHeap.cpp:19-41,
+        # 78-95): first sight feeds the filter, second sight admits with
+        # count 2 — ops/bloom.py reproduces that arithmetic under the same
+        # memory bound.  min_cov's exact-count path is bypassed when the
+        # bloom is active, as in the reference.
+        p = _set(p, bloom_bytes=parse_size(args.bloom))
     if p.reads:
         p = _set(p, counts=True)
     if p.reads and not p.concatenated:

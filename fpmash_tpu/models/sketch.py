@@ -47,6 +47,10 @@ class SketchParams:
     reads: bool = False
     min_cov: int = 1
     target_cov: float = 0.0
+    #: -b memory bound in bytes; >0 switches reads-mode admission to the
+    #: approximate Bloom filter (MinHashHeap.cpp:19-41), bounding memory
+    #: instead of counting exactly
+    bloom_bytes: int = 0
     counts: bool = False
     fingerprint: bool = False
     windowed: bool = False
@@ -882,6 +886,13 @@ def _kmer_hash_pool_scalar(seqs: list[str], p: SketchParams) -> np.ndarray:
 
 def _bottom_k(hashes: np.ndarray, p: SketchParams, backend: str):
     """Bottom-s distinct + counts over a hash pool; sorted ascending."""
+    if p.bloom_bytes > 0 and p.reads:
+        # -b: memory-bounded Bloom admission instead of exact counting
+        # (MinHashHeap.cpp:78-95); the stream-order pool feeds the filter
+        from fpmash_tpu.ops.bloom import bloom_admit_counts
+
+        values, counts = bloom_admit_counts(hashes, p.bloom_bytes)
+        return values[: p.sketch_size], counts[: p.sketch_size]
     if backend == "scalar" or (backend == "auto" and len(hashes) < 4096):
         from fpmash_tpu.ops.bottomk import bottom_k_host
 

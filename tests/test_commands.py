@@ -115,7 +115,7 @@ def test_taxscreen(small_world, tmp_path, capsys):
     assert int(unus[1]) > 0
 
 
-def test_bloom_flag_maps_to_min_cov():
+def test_bloom_flag_enables_bounded_admission():
     import argparse
 
     from fpmash_tpu.commands.common import sketch_params_from_args
@@ -126,4 +126,4 @@ def test_bloom_flag_maps_to_min_cov():
         genome=None, preserve_case=False, protein=False, alphabet=None,
     )
     p = sketch_params_from_args(ns)
-    assert p.reads and p.min_cov == 2 and p.counts
+    assert p.reads and p.counts and p.bloom_bytes == 10_000_000
