@@ -1,0 +1,164 @@
+"""On-chip parity smoke: every Pallas/device kernel vs the scalar chain.
+
+Mosaic has a history of silent on-chip miscompiles that interpret-mode
+tests cannot catch (unsigned reductions, i1 carries — commit 7502253), so
+this script runs each production kernel ONCE on the real TPU with small
+shapes and asserts values against the pure-Python parity models.
+
+Coverage:
+  * fused CFL kernel (ops/fused_pallas.py): inline + split variants, byte4
+    + dna16 packings, including rows with non-ACGT bytes (byte4 only).
+  * fused ICFL / ICFL_COMB kernel (ops/icfl_pallas.py), both packings.
+  * packed k-mer path (ops/kmers.py) k=21 canonical.
+  * bottom-k (ops/bottomk.py) and pairwise compare (ops/compare.py).
+
+Each jitted shape costs one tunnel compile (2-15 min cold); expect ~10-40
+minutes end to end.  Exit code 0 = all parity checks passed.
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/chip_smoke.py
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+
+def _words(rng, n, width, pure=True):
+    chars = b"ACGT" if pure else b"ACGTN"
+    lut = np.frombuffer(chars, dtype=np.uint8)
+    arr = lut[rng.integers(0, len(lut), size=(n, width))]
+    return arr
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from fpmash_tpu.scalar.lyndon import cfl, d_icfl, icfl
+    from fpmash_tpu.scalar.murmur3 import hash_u64_vector
+
+    print(f"backend={jax.default_backend()}", flush=True)
+    rng = np.random.default_rng(0)
+    failures = []
+
+    def check(name, got, want):
+        ok = all(int(g) == w for g, w in zip(got, want))
+        print(f"{name}: {'OK' if ok else 'MISMATCH'}", flush=True)
+        if not ok:
+            failures.append(name)
+
+    B, W = 512, 100
+    lens = np.full((B,), W, np.int32)
+
+    # --- fused CFL: variants x packings, plus non-ACGT bytes on byte4 ---
+    from fpmash_tpu.ops.fused_pallas import fingerprint_hashes_fused
+
+    for variant in ("inline", "split"):
+        for pack in ("byte4", "dna16"):
+            arr = _words(rng, B, W, pure=(pack == "dna16"))
+            t0 = time.perf_counter()
+            h1, _, fc = jax.device_get(
+                fingerprint_hashes_fused(
+                    jnp.asarray(arr), jnp.asarray(lens), seed=42,
+                    pack=pack, variant=variant,
+                )
+            )
+            want = [
+                hash_u64_vector(
+                    [len(f) for f in cfl(r.tobytes().decode())], seed=42, use64=True
+                )
+                for r in arr[:64]
+            ]
+            check(
+                f"cfl/{variant}/{pack} ({time.perf_counter()-t0:.0f}s)",
+                h1[:64], want,
+            )
+
+    # --- fused ICFL / ICFL_COMB ---
+    from fpmash_tpu.ops.icfl_pallas import icfl_family_hashes_fused
+
+    for family, fn in (("ICFL", icfl), ("ICFL_COMB", d_icfl)):
+        for pack in ("byte4", "dna16"):
+            arr = _words(rng, B, W, pure=True)
+            t0 = time.perf_counter()
+            h1, _, cnt, ok = jax.device_get(
+                icfl_family_hashes_fused(
+                    jnp.asarray(arr), jnp.asarray(lens), family=family,
+                    seed=42, pack=pack,
+                )
+            )
+            assert ok.all()
+            want = [
+                hash_u64_vector(
+                    [len(f) for f in fn(r.tobytes().decode())], seed=42, use64=True
+                )
+                for r in arr[:64]
+            ]
+            check(
+                f"{family.lower()}/{pack} ({time.perf_counter()-t0:.0f}s)",
+                h1[:64], want,
+            )
+
+    # --- packed k-mer path k=21 canonical ---
+    from fpmash_tpu.ops.kmers import kmer_hashes
+    from fpmash_tpu.scalar.murmur3 import hash_bytes
+
+    N = 4096
+    seq = _words(rng, 1, N, pure=True)[0]
+    t0 = time.perf_counter()
+    h, valid = jax.device_get(
+        kmer_hashes(jnp.asarray(seq), jnp.int32(N), k=21, seed=42, use64=True)
+    )
+    comp = {65: 84, 67: 71, 71: 67, 84: 65}
+    want = []
+    s = seq.tobytes()
+    for i in range(64):
+        kmer = s[i : i + 21]
+        rc = bytes(comp[c] for c in reversed(kmer))
+        want.append(hash_bytes(min(kmer, rc), seed=42, use64=True))
+    assert valid[:64].all()
+    check(f"kmer21 ({time.perf_counter()-t0:.0f}s)", h[:64], want)
+
+    # --- bottom-k + compare ---
+    from fpmash_tpu.ops.bottomk import bottom_k_distinct, bottom_k_host
+    from fpmash_tpu.ops.compare import pairwise_common_denom
+
+    pool = rng.integers(1, 1 << 40, size=8192, dtype=np.uint64)
+    t0 = time.perf_counter()
+    vals, counts, nv = jax.device_get(
+        bottom_k_distinct(jnp.asarray(pool), jnp.ones(8192, bool), s=128)
+    )
+    wv, wc = bottom_k_host(pool, 128)
+    check(f"bottomk ({time.perf_counter()-t0:.0f}s)", vals[: len(wv)], list(map(int, wv)))
+
+    S = 128
+    ref = np.stack([np.unique(rng.integers(1, 1 << 30, size=S * 2, dtype=np.uint64))[:S] for _ in range(8)])
+    qry = np.stack([np.unique(rng.integers(1, 1 << 30, size=S * 2, dtype=np.uint64))[:S] for _ in range(8)])
+    rl = np.full(8, S, np.int32)
+    t0 = time.perf_counter()
+    c, d = jax.device_get(
+        pairwise_common_denom(
+            jnp.asarray(ref), jnp.asarray(rl), jnp.asarray(qry), jnp.asarray(rl),
+            sketch_size=S,
+        )
+    )
+    from fpmash_tpu.models.distance import compare_sketches
+
+    wantc = []
+    gotc = []
+    for i in range(8):
+        for j in range(8):
+            r = compare_sketches(ref[i], qry[j], 0, 0, S, 21, 4.0**21)
+            wantc.append(r.numer * 100000 + r.denom)
+            gotc.append(int(c[i, j]) * 100000 + int(d[i, j]))
+    check(f"compare ({time.perf_counter()-t0:.0f}s)", gotc, wantc)
+
+    print("ALL OK" if not failures else f"FAILED: {failures}", flush=True)
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
