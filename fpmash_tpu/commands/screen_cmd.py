@@ -191,30 +191,62 @@ def _run_streaming(args, ref: Sketch, hash_table) -> int:
 
 def _run_fp_query(args, ref: Sketch, hash_table, set_size) -> int:
     """The fork's sketch-based query path (-fp): one line per query
-    reference (CommandScreen.cpp:116-257)."""
+    reference (CommandScreen.cpp:116-257).
+
+    Membership of every query hash in the reference universe is ONE
+    searchsorted of the concatenated (CSR) query hash arrays against the
+    sorted distinct reference values + a segmented reduction — no
+    per-query/per-hash Python loop (same scaling treatment as the
+    streaming path; CommandScreen.cpp:81-102 builds a hash table for
+    exactly this reason).
+    """
     p = ref.params
     qry = Sketch(p)
     qry.init_from_fingerprints(expand_inputs(args.queries, False), backend=args.backend)
 
-    for q in qry.references:
-        qh = list(map(int, q.hashes))
-        shared = 0
-        dep = []
-        counts: dict[int, int] = defaultdict(int)
-        for h in qh:
-            if h in hash_table:
-                shared += 1
-                counts[h] += 1
-                dep.append(counts[h])
+    universe = np.unique(
+        np.concatenate(
+            [np.asarray(r.hashes, np.uint64) for r in ref.references]
+            or [np.zeros(0, np.uint64)]
+        )
+    )
+    seg_len = np.array([len(q.hashes) for q in qry.references], np.int64)
+    ends = np.cumsum(seg_len)
+    cat = (
+        np.concatenate([np.asarray(q.hashes, np.uint64) for q in qry.references])
+        if len(qry.references)
+        else np.zeros(0, np.uint64)
+    )
+    if len(universe) and len(cat):
+        idx = np.minimum(np.searchsorted(universe, cat), len(universe) - 1)
+        present = universe[idx] == cat
+    else:
+        present = np.zeros(len(cat), bool)
+    csum = np.concatenate([[0], np.cumsum(present.astype(np.int64))])
+    shared_per_q = csum[ends] - csum[ends - seg_len]
+
+    for qi, q in enumerate(qry.references):
+        shared = int(shared_per_q[qi])
         if shared == 0 and args.identity >= 0.0:
             continue
-        denom = len(qh)
+        denom = int(seg_len[qi])
         identity = estimate_identity(shared, denom, p.kmer_size)
         if identity < args.identity:
             continue
         pv = screen_pvalue(shared, set_size, p.kmer_space, denom)
         if pv > args.pvalue:
             continue
+        # median of the running per-hash repeat index (the fork counts each
+        # shared occurrence's multiplicity-so-far): for occurrence counts
+        # c_1..c_m of the distinct shared values, the depth list is
+        # 1..c_1, 1..c_2, ... — reproduce from the segment's present hashes
+        seg = cat[ends[qi] - seg_len[qi] : ends[qi]]
+        seg = seg[present[ends[qi] - seg_len[qi] : ends[qi]]]
+        dep = []
+        counts: dict[int, int] = defaultdict(int)
+        for h in map(int, seg):
+            counts[h] += 1
+            dep.append(counts[h])
         med = sorted(dep)[shared // 2] if shared else 0
         sys.stdout.write(
             f"{format_g(identity)}\t{shared}/{denom}\t{med}\t{format_g(pv)}"
