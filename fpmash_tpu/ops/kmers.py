@@ -96,16 +96,38 @@ def _kmer_hashes_acgt(
     valid_char = code < 4
     c64 = jnp.minimum(code, 3).astype(jnp.uint64)
 
+    # doubling ladder: F_m[p] = big-endian packed codes of window [p, p+m),
+    # G_m[p] = little-endian packed complements of the same window, V_m[p]
+    # = all chars valid.  F_2m = (F_m << 2m) | F_m[p+m]; O(log k) shifted
+    # ORs instead of k.
+    ladder = []  # (m, F_m, G_m, V_m)
+    Fm, Gm, Vm = c64, c64 ^ jnp.uint64(3), valid_char
+    m = 1
+    while True:
+        ladder.append((m, Fm, Gm, Vm))
+        if m * 2 > k:
+            break
+        Fm = (Fm << jnp.uint64(2 * m)) | jnp.roll(Fm, -m)
+        Gm = Gm | (jnp.roll(Gm, -m) << jnp.uint64(2 * m))
+        Vm = Vm & jnp.roll(Vm, -m)
+        m *= 2
+
+    # greedy binary decomposition of k over the ladder
     F = jnp.zeros((N,), jnp.uint64)
-    R = jnp.zeros((N,), jnp.uint64)
-    valid = valid_char
-    for i in range(k):
-        ci = jnp.roll(c64, -i) if i else c64
-        F = F | (ci << jnp.uint64(2 * (k - 1 - i)))
-        if not noncanonical:
-            R = R | ((ci ^ jnp.uint64(3)) << jnp.uint64(2 * i))
-        if i:
-            valid = valid & jnp.roll(valid_char, -i)
+    G = jnp.zeros((N,), jnp.uint64)
+    valid = jnp.ones((N,), bool)
+    built = 0
+    for m, Fm, Gm, Vm in reversed(ladder):
+        if built + m <= k:
+            Fp = jnp.roll(Fm, -built) if built else Fm
+            Gp = jnp.roll(Gm, -built) if built else Gm
+            Vp = jnp.roll(Vm, -built) if built else Vm
+            F = (F << jnp.uint64(2 * m)) | Fp
+            G = G | (Gp << jnp.uint64(2 * built))
+            valid = valid & Vp
+            built += m
+    assert built == k
+    R = G
     pos = jnp.arange(N, dtype=jnp.int32)
     valid = valid & (pos <= length - k)
 

@@ -38,24 +38,31 @@ def main() -> int:
     rl = jnp.full((R,), S, jnp.int32)
     ql = jnp.full((Q,), S, jnp.int32)
 
-    @jax.jit
-    def bench(ref, qry, qry2, rl, ql):
-        def body(carry, _):
-            q = jnp.where(carry > 0, qry2, qry)
-            c, d = pairwise_common_denom(ref, rl, q, ql, sketch_size=S)
-            return (c[0, 0] & 1).astype(jnp.int32), c.sum()
+    # chain N DEPENDENT dispatches (scan-wrapping this kernel faulted on
+    # chip; data dependencies serialize on device, so blocking on the last
+    # call times the whole chain honestly)
+    f = jax.jit(
+        lambda q, t: pairwise_common_denom(
+            ref, rl, q ^ t, ql, sketch_size=S
+        )[0]
+    )
 
-        _, sums = jax.lax.scan(body, jnp.int32(0), None, length=N)
-        return sums
+    def chain():
+        t = jnp.uint64(0)
+        c = None
+        for _ in range(N):
+            c = f(qry, t)
+            t = (c[0, 0] & 1).astype(jnp.uint64)
+        return c
 
     print(f"R={R} Q={Q} S={S} N={N} backend={jax.default_backend()}", flush=True)
     t0 = time.perf_counter()
-    jax.block_until_ready(bench(ref, qry, qry2, rl, ql))
+    jax.block_until_ready(chain())
     print(f"compile+first: {time.perf_counter()-t0:.1f}s", flush=True)
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        jax.device_get(bench(ref, qry, qry2, rl, ql))
+        jax.device_get(chain())
         best = min(best, time.perf_counter() - t0)
     rate = R * Q * N / best
     print(f"time={best:.3f}s  {rate/1e6:.3f} M comparisons/s", flush=True)
