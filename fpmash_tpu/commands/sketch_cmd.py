@@ -25,6 +25,7 @@ def add_parser(sub):
     p.add_argument("--direct-fp", action="store_true", help="Integrated pipeline: FASTA inputs are fingerprinted (shift windows + factorization) and sketched in one on-device pass, skipping the .txt round-trip. Equivalent to lyn2vec + sketch -fp.")
     p.add_argument("--factorization", default="CFL", help="Factorization for --direct-fp. [CFL]")
     p.add_argument("--rev-comb", default="true", choices=["true", "false"], help="extract_reads rev_com mode for --direct-fp. [true]")
+    p.add_argument("--shift", default="shift", choices=["shift", "no_shift"], help="--direct-fp: fingerprint every cyclic 100-window (shift) or the whole read (no_shift), like the lyn2vec flag. [shift]")
     p.add_argument("--backend", default="auto", choices=["auto", "jax", "scalar"])
     add_sketch_options(p)
     p.set_defaults(func=run)
@@ -47,7 +48,9 @@ def run(args) -> int:
         reads = []
         for f in files:
             reads.extend(extract_reads(f, rev_com=args.rev_comb == "true"))
-        sketch.init_from_reads_fingerprint(reads, args.factorization)
+        sketch.init_from_reads_fingerprint(
+            reads, args.factorization, shift=args.shift == "shift"
+        )
         prefix = args.prefix or files[0]
         out = prefix if prefix.endswith(".msh") else prefix + ".msh"
         print(f"Writing to {out}...", file=sys.stderr)

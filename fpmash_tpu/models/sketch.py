@@ -342,7 +342,9 @@ class Sketch:
                         vec = [len(f) for f in fn(s) if f not in ("<<", ">>")]
                         h1[b] = _hash_u64_vectors([vec], p.seed, True, "scalar")[0]
                         fac_count[b] = len(vec)
-            elif jax.default_backend() != "cpu" and batch.shape[1] <= 128:
+            elif jax.default_backend() != "cpu" and (
+                batch.shape[1] <= (512 if pure_dna else 320)
+            ):
                 # fused Pallas kernel: Duval + murmur in one VMEM pass
                 # (1.7x the split XLA pipeline on-chip)
                 try:

@@ -321,8 +321,8 @@ def _split_kernel(
     slabs — no cross-sublane reduction, no gathers.
 
     Phase 1 runs the Duval automaton but records each factor START as one
-    bit in a 4xu32 per-lane bitmask (L <= 128) instead of paying the full
-    64-bit MurmurHash3 block update on every automaton step.  Phase 2
+    bit in a ``ceil(L/32) x u32`` per-lane bitmask instead of paying the
+    full 64-bit MurmurHash3 block update on every automaton step.  Phase 2
     walks the set bits in ascending order — max(factor count) iterations,
     typically ~L/5 for DNA — and feeds the successive factor lengths into
     the murmur chain.  Semantics identical to the inline kernel.
@@ -330,6 +330,7 @@ def _split_kernel(
     G = GROUPS
     WG, R = sp_ref.shape
     assert WG == W * G
+    M = -(-(W << cpw_log2) // 32)  # boundary-bitmask words per window
     n = n_ref[:].astype(jnp.int32)  # [G, R]
     zero = jnp.int32(0)
     cmask = jnp.int32((1 << cpw_log2) - 1)
@@ -358,7 +359,7 @@ def _split_kernel(
 
     # ---- phase 1: Duval automaton, boundary bits only ----
     def substep(state):
-        (i, j, k, emitting, cnt, m0, m1, m2, m3) = state
+        (i, j, k, emitting, cnt, ms) = state
         em_b = emitting > zero
         s_k = sel(k)
         s_j = sel(jnp.minimum(j, (W << cpw_log2) - 1))
@@ -374,10 +375,10 @@ def _split_kernel(
         # record factor start bit i
         bitv = _u32(1) << (i & jnp.int32(31)).astype(jnp.uint32)
         iw = i >> jnp.int32(5)
-        m0 = jnp.where(fire & (iw == zero), m0 | bitv, m0)
-        m1 = jnp.where(fire & (iw == one), m1 | bitv, m1)
-        m2 = jnp.where(fire & (iw == jnp.int32(2)), m2 | bitv, m2)
-        m3 = jnp.where(fire & (iw == jnp.int32(3)), m3 | bitv, m3)
+        ms = tuple(
+            jnp.where(fire & (iw == jnp.int32(w)), ms[w] | bitv, ms[w])
+            for w in range(M)
+        )
         cnt = cnt + fire.astype(jnp.int32)
 
         i_emit = jnp.where(emit_now, i + p, i)
@@ -394,7 +395,7 @@ def _split_kernel(
             jnp.logical_not(can_extend).astype(jnp.int32),
             jnp.where(done, emitting, emit_now.astype(jnp.int32)),
         )
-        return (i_next, j_next, k_next, emitting_next, cnt, m0, m1, m2, m3)
+        return (i_next, j_next, k_next, emitting_next, cnt, ms)
 
     def cond1(carry):
         t, state = carry
@@ -407,12 +408,12 @@ def _split_kernel(
             state = substep(state)
         return (t + unroll, state)
 
-    init1 = (zeros, zeros + 1, zeros, fzeros, zeros, uzeros, uzeros, uzeros, uzeros)
+    init1 = (zeros, zeros + 1, zeros, fzeros, zeros, (uzeros,) * M)
     _, st = jax.lax.while_loop(cond1, body1, (jnp.int32(0), init1))
-    (_, _, _, _, cnt, m0, m1, m2, m3) = st
+    (_, _, _, _, cnt, ms) = st
 
     # ---- phase 2: walk boundary bits, feed lengths into murmur ----
-    m0 = m0 & _u32(0xFFFFFFFE)  # first factor always starts at 0
+    ms = (ms[0] & _u32(0xFFFFFFFE),) + ms[1:]  # first factor starts at 0
 
     def cond2(carry):
         t, fidx, *_ = carry
@@ -420,17 +421,18 @@ def _split_kernel(
         return (t < max_steps) & (alive > jnp.int32(0))
 
     def body2(carry):
-        (t, fidx, prev, parity, k1p, h1l, h1h, h2l, h2h, m0, m1, m2, m3) = carry
+        (t, fidx, prev, parity, k1p, h1l, h1h, h2l, h2h, ms) = carry
         active = fidx < cnt
-        nz0 = m0 != _u32(0)
-        nz1 = m1 != _u32(0)
-        nz2 = m2 != _u32(0)
-        nz3 = m3 != _u32(0)
-        anyb = nz0 | nz1 | nz2 | nz3
-        word = jnp.where(nz0, m0, jnp.where(nz1, m1, jnp.where(nz2, m2, m3)))
-        base = jnp.where(
-            nz0, zero, jnp.where(nz1, jnp.int32(32), jnp.where(nz2, jnp.int32(64), jnp.int32(96)))
-        )
+        nzs = [m != _u32(0) for m in ms]
+        anyb = nzs[0]
+        for w in range(1, M):
+            anyb = anyb | nzs[w]
+        # priority select of the lowest nonzero mask word + its bit base
+        word = ms[M - 1]
+        base = jnp.full((G, R), (M - 1) * 32, jnp.int32)
+        for w in range(M - 2, -1, -1):
+            word = jnp.where(nzs[w], ms[w], word)
+            base = jnp.where(nzs[w], jnp.int32(w * 32), base)
         pos = base + _ctz32(word)
         nxt = jnp.where(anyb, pos, n)  # next factor start, or end of row
         pu = (nxt - prev).astype(jnp.uint32)
@@ -447,22 +449,22 @@ def _split_kernel(
 
         cleared = word & (word - _u32(1))
         clr = active & anyb
-        m0 = jnp.where(clr & nz0, cleared, m0)
-        m1 = jnp.where(clr & jnp.logical_not(nz0) & nz1, cleared, m1)
-        m2 = jnp.where(clr & jnp.logical_not(nz0) & jnp.logical_not(nz1) & nz2, cleared, m2)
-        m3 = jnp.where(
-            clr & jnp.logical_not(nz0) & jnp.logical_not(nz1) & jnp.logical_not(nz2),
-            cleared,
-            m3,
-        )
+        # clear the bit in the word that was selected (first nonzero)
+        first_nz = nzs[0]
+        new_ms = [jnp.where(clr & first_nz, cleared, ms[0])]
+        none_before = jnp.logical_not(nzs[0])
+        for w in range(1, M):
+            new_ms.append(jnp.where(clr & none_before & nzs[w], cleared, ms[w]))
+            none_before = none_before & jnp.logical_not(nzs[w])
+        ms = tuple(new_ms)
         prev = jnp.where(clr, nxt, prev)
         fidx = fidx + active.astype(jnp.int32)
-        return (t + 1, fidx, prev, parity, k1p, h1l, h1h, h2l, h2h, m0, m1, m2, m3)
+        return (t + 1, fidx, prev, parity, k1p, h1l, h1h, h2l, h2h, ms)
 
     init2 = (jnp.int32(0), zeros, zeros, fzeros, uzeros, seedv, uzeros, seedv, uzeros,
-             m0, m1, m2, m3)
+             ms)
     st2 = jax.lax.while_loop(cond2, body2, init2)
-    (_, _, _, parity, k1p, h1l, h1h, h2l, h2h, _, _, _, _) = st2
+    (_, _, _, parity, k1p, h1l, h1h, h2l, h2h, _) = st2
 
     # odd tail + finalize (murmur3_u64_batch semantics)
     pa_b = parity > jnp.int32(0)
@@ -504,16 +506,16 @@ def fingerprint_hashes_fused(
     the batch to contain only A/C/G/T (plus padding) and packs 16
     order-preserving 2-bit codes per word for a ~2x faster select.
 
-    ``variant="split"`` (default, L <= 128 only) records factor boundaries
-    as bits during the Duval loop and runs the murmur chain afterwards over
-    max(factor count) iterations; ``variant="inline"`` hashes inside the
-    automaton loop.  Split avoids the ~100-op 64-bit block update on every
-    automaton step, so it is the faster kernel whenever factors are longer
-    than ~1 char on average.
+    ``variant="split"`` (default) records factor boundaries as bits
+    (``ceil(L/32)`` mask words per window) during the Duval loop and runs
+    the murmur chain afterwards over max(factor count) iterations;
+    ``variant="inline"`` hashes inside the automaton loop.  Split avoids
+    the ~100-op 64-bit block update on every automaton step, so it is the
+    faster kernel whenever factors are longer than ~1 char on average.
+    Callers gate L by packing so the word slab + its i32 copy fit VMEM
+    (models/sketch.py: dna16 <= 512, byte4 <= 320 at ROW_BLOCK=2048).
     """
     B, L = batch.shape
-    if variant == "split" and L > 128:
-        variant = "inline"  # boundary bitmask is 4xu32 = 128 positions
     if variant not in ("split", "inline"):
         raise ValueError(f"unknown variant {variant!r}")
     if pack == "dna16":

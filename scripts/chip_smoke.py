@@ -77,6 +77,24 @@ def main() -> int:
                 h1[:64], want,
             )
 
+    # --- split kernel at generalized chunk width (M=10 mask words) ---
+    arr = _words(rng, B, 300, pure=True)
+    lens300 = np.full((B,), 300, np.int32)
+    t0 = time.perf_counter()
+    h1, _, fc = jax.device_get(
+        fingerprint_hashes_fused(
+            jnp.asarray(arr), jnp.asarray(lens300), seed=42,
+            pack="dna16", variant="split",
+        )
+    )
+    want = [
+        hash_u64_vector(
+            [len(f) for f in cfl(r.tobytes().decode())], seed=42, use64=True
+        )
+        for r in arr[:64]
+    ]
+    check(f"cfl/split/dna16/L300 ({time.perf_counter()-t0:.0f}s)", h1[:64], want)
+
     # --- fused ICFL / ICFL_COMB ---
     from fpmash_tpu.ops.icfl_pallas import icfl_family_hashes_fused
 

@@ -130,6 +130,37 @@ def test_fused_kernel_dna16_pack():
         assert int(fc[i]) == len(fac)
 
 @pytest.mark.parametrize("pack", ["byte4", "dna16"])
+def test_split_variant_wide_rows(pack):
+    """L=300 (the generalized pipeline's chunk width) through the split
+    kernel's multi-word boundary bitmask (M=10 mask words)."""
+    import jax
+    import jax.numpy as jnp
+
+    from fpmash_tpu.ops.fused_pallas import fingerprint_hashes_fused
+    from fpmash_tpu.ops.lyndon import encode_batch
+    from fpmash_tpu.scalar.lyndon import cfl
+    from fpmash_tpu.scalar.murmur3 import hash_u64_vector
+
+    random.seed(23)
+    words = [
+        "".join(random.choice("ACGT") for _ in range(random.randint(120, 300)))
+        for _ in range(48)
+    ]
+    words += ["A" * 300, "ACGT" * 75, "T" * 299 + "A"]
+    arr, lens = encode_batch(words)
+    h1, _, fc = jax.device_get(
+        fingerprint_hashes_fused(
+            jnp.asarray(arr), jnp.asarray(lens), seed=42, interpret=True,
+            pack=pack, variant="split",
+        )
+    )
+    for i, w in enumerate(words):
+        fac = [len(f) for f in cfl(w)]
+        assert int(h1[i]) == hash_u64_vector(fac, seed=42, use64=True), (i, len(w))
+        assert int(fc[i]) == len(fac)
+
+
+@pytest.mark.parametrize("pack", ["byte4", "dna16"])
 def test_split_variant_matches_scalar_chain(pack):
     """Two-phase (boundary-bit) kernel == scalar chain, both packings."""
     import jax

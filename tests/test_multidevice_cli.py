@@ -88,6 +88,36 @@ def test_dist_multidevice(tmp_path, monkeypatch, capsys):
     assert len(out1.splitlines()) == 12 * 9
 
 
+def test_sketch_direct_fp_no_shift(tmp_path, monkeypatch, capsys):
+    """--direct-fp --shift no_shift (whole-read rows, L=300) equals the
+    fingerprint-txt round-trip, across device counts."""
+    from fpmash_tpu.cli import main
+
+    fasta = tmp_path / "ns.fasta"
+    _write_fasta(fasta, n_reads=40, length=300, seed=13)  # >=256 rows? 40 rows -> host route is fine too
+    outs = {}
+    for d in (1, 8):
+        out = tmp_path / f"ns{d}"
+        _run(
+            ["sketch", "--direct-fp", "--shift", "no_shift", "-o", str(out), str(fasta)],
+            monkeypatch, capsys, devices=d,
+        )
+        outs[d] = open(str(out) + ".msh", "rb").read()
+    assert outs[1] == outs[8]
+
+    monkeypatch.setenv("FPMASH_DEVICES", "8")
+    rc = main(["fingerprint", "--type", "basic", "--path", str(tmp_path),
+               "--fasta", "ns.fasta", "--type_factorization", "CFL",
+               "--rev_comb", "true", "--shift", "no_shift", "--backend", "scalar"])
+    assert rc == 0
+    capsys.readouterr()
+    rc = main(["sketch", "-fp", str(tmp_path / "fingerprint_CFL.txt"),
+               "-o", str(tmp_path / "nsref")])
+    assert rc == 0
+    capsys.readouterr()
+    assert outs[8] == open(str(tmp_path / "nsref.msh"), "rb").read()
+
+
 def test_triangle_multidevice(tmp_path, monkeypatch, capsys, golden_dir):
     """triangle -fp (positional comparison) identical across device counts."""
     fp = str(golden_dir / "cfl" / "DNA3-CFL.txt")
