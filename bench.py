@@ -90,6 +90,23 @@ def main() -> int:
     cpu_s = time.perf_counter() - t0
     cpu_bases_per_s = len(sample) * WINDOW / cpu_s
 
+    # ---- secondary metrics (BASELINE: "...and sketch-pair comparisons/s");
+    # each guarded so a failure cannot lose the primary number ----
+    extra = {}
+    if not on_cpu:
+        try:
+            extra["icfl_comb_bases_per_s"] = round(_bench_icfl(w, w2, l, B, WINDOW, N))
+        except Exception as e:  # pragma: no cover
+            extra["icfl_comb_error"] = type(e).__name__
+        try:
+            extra["pair_comparisons_per_s"] = round(_bench_compare())
+        except Exception as e:  # pragma: no cover
+            extra["compare_error"] = type(e).__name__
+        try:
+            extra["classic_kmer_bases_per_s"] = round(_bench_kmer())
+        except Exception as e:  # pragma: no cover
+            extra["kmer_error"] = type(e).__name__
+
     print(
         json.dumps(
             {
@@ -97,10 +114,121 @@ def main() -> int:
                 "value": round(device_bases_per_s),
                 "unit": "bases/s",
                 "vs_baseline": round(device_bases_per_s / cpu_bases_per_s, 2),
+                **({"extra": extra} if extra else {}),
             }
         )
     )
     return 0
+
+
+def _chained_best(fn, *args, reps: int = 3):
+    import jax
+
+    jax.block_until_ready(fn(*args))
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.device_get(fn(*args))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def _bench_icfl(w, w2, l, B, WINDOW, N):
+    """Fused ICFL_COMB pipeline (9-of-10 families' representative)."""
+    import jax
+    import jax.numpy as jnp
+
+    from fpmash_tpu.ops.icfl_pallas import icfl_family_hashes_fused
+
+    @jax.jit
+    def bench(w, w2, l):
+        def body(carry, _):
+            wv = jnp.where(carry > 0, w2, w)
+            h1, _, cnt, ok = icfl_family_hashes_fused(
+                wv, l, family="ICFL_COMB", seed=42, pack="dna16"
+            )
+            return (h1[0] & jnp.uint64(1)).astype(jnp.int32), h1.sum() + ok.sum()
+
+        _, sums = jax.lax.scan(body, jnp.int32(0), None, length=N)
+        return sums
+
+    return B * N * WINDOW / _chained_best(bench, w, w2, l)
+
+
+def _bench_compare(R: int = 128, Q: int = 128, S: int = 1000, N: int = 8):
+    """Pairwise sketch comparisons/s at the production tile size (BASELINE
+    config 4's kernel).  Chained DEPENDENT dispatches (scan-wrapping this
+    kernel faults on chip; dependencies serialize honestly)."""
+    import jax
+    import jax.numpy as jnp
+
+    from fpmash_tpu.ops.compare import pairwise_common_denom
+
+    rng = np.random.default_rng(1)
+
+    def mk(n):
+        a = rng.integers(0, 1 << 62, size=(n, S + 64), dtype=np.uint64)
+        return jnp.asarray(np.sort(a, axis=1)[:, :S])
+
+    ref, qry = mk(R), mk(Q)
+    rl = jnp.full((R,), S, jnp.int32)
+    ql = jnp.full((Q,), S, jnp.int32)
+    f = jax.jit(
+        lambda q, t: pairwise_common_denom(ref, rl, q ^ t, ql, sketch_size=S)[0]
+    )
+
+    def chain():
+        t = jnp.uint64(0)
+        c = None
+        for _ in range(N):
+            c = f(qry, t)
+            t = (c[0, 0] & 1).astype(jnp.uint64)
+        return c
+
+    return R * Q * N / _chained_best(chain)
+
+
+def _bench_kmer(Nseq: int = 1 << 20, k: int = 21, N: int = 8):
+    """Classic k=21 sketch path: window+canonical+murmur (chained scan) and
+    bottom-k (dependent dispatches), combined as a pipeline rate."""
+    import jax
+    import jax.numpy as jnp
+
+    from fpmash_tpu.ops.bottomk import bottom_k_distinct
+    from fpmash_tpu.ops.kmers import kmer_hashes
+
+    rng = np.random.default_rng(2)
+    lut = np.frombuffer(b"ACGT", dtype=np.uint8)
+    seq = jnp.asarray(lut[rng.integers(0, 4, size=Nseq)])
+    seq2 = jnp.asarray(lut[rng.integers(0, 4, size=Nseq)])
+    length = jnp.int32(Nseq)
+    pool = jnp.asarray(rng.integers(1, 1 << 62, size=Nseq, dtype=np.uint64))
+
+    @jax.jit
+    def bench_kmer(seq, seq2):
+        def body(carry, _):
+            sv = jnp.where(carry > 0, seq2, seq)
+            h, valid = kmer_hashes(sv, length, k=k, seed=42, use64=True)
+            return (h[0] & jnp.uint64(1)).astype(jnp.int32), h.sum()
+
+        _, sums = jax.lax.scan(body, jnp.int32(0), None, length=N)
+        return sums
+
+    bk = jax.jit(
+        lambda pool, t: bottom_k_distinct(pool ^ t, (pool ^ t) > 0, s=1000)[0]
+    )
+
+    def chain():
+        t = jnp.uint64(0)
+        vals = None
+        for _ in range(N):
+            vals = bk(pool, t)
+            t = vals[0] & jnp.uint64(1)
+        return vals
+
+    r_kmer = Nseq * N / _chained_best(bench_kmer, seq, seq2)
+    r_bk = Nseq * N / _chained_best(chain)
+    return 1.0 / (1.0 / r_kmer + 1.0 / r_bk)
 
 
 if __name__ == "__main__":
