@@ -45,21 +45,40 @@ def pairwise_common_denom(
     """common/denom of the capped merge-join for every (ref, query) pair.
 
     Returns ``(common i32[R, Q], denom i32[R, Q])``.
+
+    Gather-free formulation: each pair concatenates its two sorted lists
+    and sorts the ``2S`` values (two native u32 keys); a shared value then
+    appears as an adjacent equal pair (within-list distinctness guarantees
+    the duplicate is cross-list), and the union rank of a value is the
+    running count of run starts.  ``common`` counts duplicates whose value
+    rank is below the cap; ``denom = min(|union|, S)``.  The earlier
+    ``searchsorted``-based version (same semantics, asserted against the
+    literal walk in tests) intermittently faulted the TPU at run time —
+    sort/cumsum are the constructs every other kernel already relies on.
     """
 
     S = ref.shape[1]
 
     def one_pair(A, la, B, lb):
+        # mask padding beyond the valid lengths to U64MAX
         idx = jnp.arange(S, dtype=jnp.int32)
-        a_valid = idx < la
-        pos = jnp.searchsorted(B, A)  # left insertion points
-        member = (pos < lb) & (jnp.take(B, jnp.clip(pos, 0, S - 1)) == A) & a_valid
-        c_incl = jnp.cumsum(member.astype(jnp.int32))
-        c_before = c_incl - member.astype(jnp.int32)
-        union_rank = idx + pos.astype(jnp.int32) - c_before
-        common = jnp.sum((member & (union_rank < sketch_size)).astype(jnp.int32))
-        total_common = c_incl[-1]
-        union = la + lb - total_common
+        Am = jnp.where(idx < la, A, _U64MAX)
+        Bm = jnp.where(idx < lb, B, _U64MAX)
+        x = jnp.concatenate([Am, Bm])
+        hi = (x >> jnp.uint64(32)).astype(jnp.uint32)
+        lo = (x & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+        hi, lo = jax.lax.sort((hi, lo), num_keys=2)
+        eq_prev = jnp.concatenate(
+            [jnp.array([False]), (hi[1:] == hi[:-1]) & (lo[1:] == lo[:-1])]
+        )
+        live = ~((hi == jnp.uint32(0xFFFFFFFF)) & (lo == jnp.uint32(0xFFFFFFFF)))
+        is_start = ~eq_prev & live
+        # union rank of each element's value (0-based over distinct values)
+        rank = jnp.cumsum(is_start.astype(jnp.int32)) - 1
+        common = jnp.sum(
+            (eq_prev & live & (rank < sketch_size)).astype(jnp.int32)
+        )
+        union = jnp.sum(is_start.astype(jnp.int32))
         denom = jnp.minimum(union, sketch_size)
         return common, denom
 
