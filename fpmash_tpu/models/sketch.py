@@ -773,29 +773,45 @@ def _kmer_hash_pool(seqs: list[str], p: SketchParams, backend: str) -> np.ndarra
     CHUNK = (1 << 15) if jax.default_backend() == "cpu" else (1 << 22)
     size = CHUNK if n > (CHUNK >> 2) else _round_up_pow2(n, 4096)
     step = size - (k - 1)
-    pools = []
-    pos = 0
-    while pos < n:
+
+    # assemble all overlapped chunks as one [C, size] batch, then hash the
+    # rows in a single vmapped dispatch routed through shard_rows — with
+    # multiple visible devices the chunk rows data-parallelize across the
+    # mesh (bitwise-identical; zero-length pad rows hash to nothing)
+    starts = list(range(0, n, step))
+    C = len(starts)
+    Cp = _round_up_pow2(C, 1)  # bound the number of compiled shapes
+    bufs = np.zeros((Cp, size), np.uint8)
+    lens = np.zeros((Cp,), np.int32)  # pad rows stay length 0 -> no hashes
+    for ci, pos in enumerate(starts):
         end = min(pos + size, n)
-        buf = np.zeros(size, np.uint8)
-        buf[: end - pos] = np.frombuffer(blob[pos:end], np.uint8)
-        h, valid = kmer_hashes(
-            jnp.asarray(buf),
-            jnp.int32(end - pos),
-            alphabet=p.alphabet,
-            k=k,
-            noncanonical=p.noncanonical,
-            preserve_case=p.preserve_case,
-            seed=p.seed,
-            use64=p.use64,
-        )
-        valid = np.array(valid)
-        if end < n:
+        bufs[ci, : end - pos] = np.frombuffer(blob[pos:end], np.uint8)
+        lens[ci] = end - pos
+
+    from fpmash_tpu.parallel.sharded import shard_rows
+
+    def hash_rows(bufs, lens):
+        return jax.vmap(
+            lambda b, l: kmer_hashes(
+                b,
+                l,
+                alphabet=p.alphabet,
+                k=k,
+                noncanonical=p.noncanonical,
+                preserve_case=p.preserve_case,
+                seed=p.seed,
+                use64=p.use64,
+            )
+        )(bufs, lens)
+
+    h, valid = shard_rows(hash_rows, (bufs, lens))
+    h = np.asarray(h)
+    valid = np.array(valid)
+    for ci, pos in enumerate(starts):
+        if pos + size < n:
             # windows starting in the overlap belong to the next chunk
-            valid[step:] = False
-        pools.append(np.asarray(h)[valid])
-        pos += step
-    out = np.concatenate(pools)
+            valid[ci, step:] = False
+    out = h[valid]
     if not p.use64:
         out = out & np.uint64(0xFFFFFFFF)
     return out

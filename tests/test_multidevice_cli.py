@@ -57,6 +57,21 @@ def test_sketch_direct_fp_multidevice(tmp_path, monkeypatch, capsys, fact):
     assert b1 == b8
 
 
+def test_classic_sketch_multidevice(tmp_path, monkeypatch, capsys):
+    """Classic k-mer sketching shards its chunk rows; .msh identical."""
+    fasta = tmp_path / "g.fna"
+    _write_fasta(fasta, n_reads=2, length=4000, seed=17)
+    outs = {}
+    for d in (1, 8):
+        out = tmp_path / f"g{d}"
+        _run(
+            ["sketch", str(fasta), "-o", str(out), "--backend", "jax"],
+            monkeypatch, capsys, devices=d,
+        )
+        outs[d] = open(str(out) + ".msh", "rb").read()
+    assert outs[1] == outs[8]
+
+
 def _mk_sketch_msh(tmp_path, name, n_refs, seed):
     """Synthetic classic sketch file with sorted distinct hashes."""
     from fpmash_tpu.models.sketch import Reference, Sketch, SketchParams
