@@ -194,7 +194,7 @@ def _bench_kmer(Nseq: int = 1 << 20, k: int = 21, N: int = 8):
     import jax
     import jax.numpy as jnp
 
-    from fpmash_tpu.ops.bottomk import bottom_k_distinct
+    from fpmash_tpu.ops.bottomk import bottom_k_threshold
     from fpmash_tpu.ops.kmers import kmer_hashes
 
     rng = np.random.default_rng(2)
@@ -215,7 +215,7 @@ def _bench_kmer(Nseq: int = 1 << 20, k: int = 21, N: int = 8):
         return sums
 
     bk = jax.jit(
-        lambda pool, t: bottom_k_distinct(pool ^ t, (pool ^ t) > 0, s=1000)[0]
+        lambda pool, t: bottom_k_threshold(pool ^ t, (pool ^ t) > 0, s=1000)[0]
     )
 
     def chain():

@@ -927,8 +927,24 @@ def _bottom_k(hashes: np.ndarray, p: SketchParams, backend: str):
     pool[:n_in] = hashes
     valid = np.zeros(N, bool)
     valid[:n_in] = True
+    pool_j = jnp.asarray(pool)
+    valid_j = jnp.asarray(valid)
+    if N > (1 << 17) and p.sketch_size * 16 <= (1 << 16):
+        # threshold-filtered fast path (no full sort of the pool); retry
+        # with a wider threshold, then fall back to the full sort, if the
+        # filter under-collects (non-uniform pool or sparse min_cov)
+        from fpmash_tpu.ops.bottomk import bottom_k_threshold
+
+        for boost, cap in ((1, 1 << 16), (8, 1 << 19)):
+            values, counts, n, ok = bottom_k_threshold(
+                pool_j, valid_j, s=p.sketch_size, min_cov=p.min_cov,
+                boost=boost, cap=min(cap, N),
+            )
+            if bool(ok):
+                n = int(n)
+                return np.asarray(values)[:n], np.asarray(counts)[:n]
     values, counts, n = bottom_k_distinct(
-        jnp.asarray(pool), jnp.asarray(valid), s=p.sketch_size, min_cov=p.min_cov
+        pool_j, valid_j, s=p.sketch_size, min_cov=p.min_cov
     )
     n = int(n)
     return np.asarray(values)[:n], np.asarray(counts)[:n]

@@ -72,6 +72,78 @@ def bottom_k_distinct(hashes: jax.Array, valid: jax.Array, *, s: int, min_cov: i
     return values, counts, n
 
 
+@partial(jax.jit, static_argnames=("s", "min_cov", "cap", "boost"))
+def bottom_k_threshold(
+    hashes: jax.Array,
+    valid: jax.Array,
+    *,
+    s: int,
+    min_cov: int = 1,
+    cap: int = 65536,
+    boost: int = 1,
+):
+    """Threshold-filtered bottom-s: avoid sorting the whole pool.
+
+    The s-th smallest distinct of ``n`` ~uniform hashes sits near
+    ``s/n * 2^64``; keep everything below ``8x`` that estimate (expected
+    ``8s`` survivors; ``cap`` leaves another ~8x headroom for density
+    skew, e.g. hashes spanning only part of the space), compact, and
+    sort only the ``cap`` candidates —
+    ~20x faster than the full sort at multi-million pools.  Every
+    occurrence of a kept value lands below the same threshold, so
+    multiplicities computed from the candidates alone are exact.
+
+    Returns ``(values, counts, n, ok)``; ``ok=False`` means the filter
+    under-collected (non-uniform pool, or ``min_cov`` admission much
+    sparser than the value density) or overflowed ``cap`` — the caller
+    retries with a larger ``boost`` (threshold multiplier) or falls back
+    to :func:`bottom_k_distinct`.
+    """
+    x = jnp.where(valid, hashes.astype(jnp.uint64), _U64MAX)
+    N = x.shape[0]
+    n_valid = jnp.sum(valid.astype(jnp.int64))
+    frac = jnp.minimum(
+        (8.0 * s * boost) / jnp.maximum(n_valid.astype(jnp.float64), 1.0), 1.0
+    )
+    t = jnp.where(
+        frac >= 1.0,
+        _U64MAX,
+        (frac * float(2**64)).astype(jnp.uint64),
+    )
+    mask = x <= t
+    m = jnp.sum(mask.astype(jnp.int64))
+
+    idx = jnp.nonzero(mask, size=cap, fill_value=N)[0]
+    pad = idx >= N
+    cand = jnp.where(pad, _U64MAX, x[jnp.minimum(idx, N - 1)])
+
+    # run-length over the sorted candidates (same math as bottom_k_distinct)
+    hi = (cand >> jnp.uint64(32)).astype(jnp.uint32)
+    lo = (cand & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+    hi, lo = jax.lax.sort((hi, lo), num_keys=2)
+    c = (hi.astype(jnp.uint64) << jnp.uint64(32)) | lo.astype(jnp.uint64)
+    is_boundary = jnp.concatenate([jnp.array([True]), c[1:] != c[:-1]])
+    is_start = is_boundary & (c != _U64MAX)
+    idx_arr = jnp.arange(cap, dtype=jnp.int32)
+    boundary_or_inf = jnp.where(is_boundary, idx_arr, cap)
+    nxt = jax.lax.cummin(boundary_or_inf[::-1])[::-1]
+    nxt = jnp.concatenate([nxt[1:], jnp.array([cap], jnp.int32)])
+    run_count = jnp.where(is_start, nxt - idx_arr, 0).astype(jnp.uint32)
+    eligible = is_start & (run_count >= min_cov)
+    n_eligible = jnp.sum(eligible.astype(jnp.int32))
+
+    out_idx = jnp.nonzero(eligible, size=s, fill_value=cap)[0]
+    opad = out_idx >= cap
+    out_idx = jnp.minimum(out_idx, cap - 1)
+    values = jnp.where(opad, _U64MAX, c[out_idx])
+    counts = jnp.where(opad, jnp.uint32(0), run_count[out_idx])
+    n = jnp.sum(~opad).astype(jnp.uint32)
+
+    all_taken = m >= n_valid  # threshold saturated: candidates = whole pool
+    ok = (m < cap) & ((n_eligible >= s) | all_taken)
+    return values, counts, n, ok
+
+
 def bottom_k_host(hashes, s: int, min_cov: int = 1):
     """NumPy fallback / parity model for :func:`bottom_k_distinct`."""
     values, counts = np.unique(np.asarray(hashes, dtype=np.uint64), return_counts=True)

@@ -25,7 +25,7 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
 
-    from fpmash_tpu.ops.bottomk import bottom_k_distinct
+    from fpmash_tpu.ops.bottomk import bottom_k_threshold
     from fpmash_tpu.ops.kmers import kmer_hashes
 
     rng = np.random.default_rng(0)
@@ -47,31 +47,45 @@ def main() -> int:
         _, sums = jax.lax.scan(body, jnp.int32(0), None, length=ITERS)
         return sums
 
-    @jax.jit
-    def bench_bottomk(pool):
-        def body(carry, _):
-            pv = pool ^ carry  # data dependency, elementwise only
-            vals, counts, nv = bottom_k_distinct(pv, pv > 0, s=1000)
-            return vals[0] & jnp.uint64(1), vals.sum()
+    # bottom-k: scan-wrapping trips a scoped-VMEM cliff, so chain ITERS
+    # DEPENDENT dispatches instead (each call's input xors the previous
+    # call's output — real data dependencies serialize on device; only
+    # independent calls get relay-reordered)
+    bk = jax.jit(
+        lambda pool, t: bottom_k_threshold(pool ^ t, (pool ^ t) > 0, s=1000)[0]
+    )
 
-        _, sums = jax.lax.scan(body, jnp.uint64(0), None, length=ITERS)
-        return sums
+    def bench_bottomk_chain():
+        t = jnp.uint64(0)
+        vals = None
+        for _ in range(ITERS):
+            vals = bk(pool, t)
+            t = vals[0] & jnp.uint64(1)
+        return vals
 
     rates = {}
-    for name, fn, args in (
-        ("kmer", bench_kmer, (seq, seq2)),
-        ("bottomk", bench_bottomk, (pool,)),
-    ):
+
+    t0 = time.perf_counter()
+    jax.block_until_ready(bench_kmer(seq, seq2))
+    print(f"kmer compile+first: {time.perf_counter()-t0:.1f}s", flush=True)
+    best = float("inf")
+    for _ in range(3):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
-        print(f"{name} compile+first: {time.perf_counter()-t0:.1f}s", flush=True)
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            jax.device_get(fn(*args))
-            best = min(best, time.perf_counter() - t0)
-        rates[name] = N * ITERS / best
-        print(f"{name}: time={best:.3f}s  {rates[name]/1e9:.3f} Gbases/s", flush=True)
+        jax.device_get(bench_kmer(seq, seq2))
+        best = min(best, time.perf_counter() - t0)
+    rates["kmer"] = N * ITERS / best
+    print(f"kmer: time={best:.3f}s  {rates['kmer']/1e9:.3f} Gbases/s", flush=True)
+
+    t0 = time.perf_counter()
+    jax.block_until_ready(bench_bottomk_chain())
+    print(f"bottomk compile+first: {time.perf_counter()-t0:.1f}s", flush=True)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.device_get(bench_bottomk_chain())
+        best = min(best, time.perf_counter() - t0)
+    rates["bottomk"] = N * ITERS / best
+    print(f"bottomk: time={best:.3f}s  {rates['bottomk']/1e9:.3f} Gbases/s", flush=True)
 
     combined = 1.0 / (1.0 / rates["kmer"] + 1.0 / rates["bottomk"])
     print(f"pipeline (kmer+bottomk): {combined/1e9:.3f} Gbases/s", flush=True)

@@ -159,3 +159,68 @@ def test_info_json_roundtrip(golden_dir):
         assert mine["name"] == gold["name"]
         assert mine["length"] == gold["length"]
         assert mine["hashes"][:1000] == gold["hashes"]
+
+
+def test_bottom_k_threshold_matches_host():
+    """Fast threshold bottom-k == full-sort semantics on a realistic pool
+    (uniform hashes + duplicates), and flags non-uniform pools for
+    fallback instead of returning wrong results."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fpmash_tpu.ops.bottomk import bottom_k_host, bottom_k_threshold
+
+    rng = np.random.default_rng(0)
+    base = rng.integers(1, 1 << 63, size=200_000, dtype=np.uint64)
+    pool = np.concatenate([base, base[:5000], base[:100]])  # multiplicities
+    rng.shuffle(pool)
+    valid = np.ones(len(pool), bool)
+    v, c, n, ok = bottom_k_threshold(
+        jnp.asarray(pool), jnp.asarray(valid), s=1000, min_cov=1
+    )
+    assert bool(ok)
+    wv, wc = bottom_k_host(pool, 1000, 1)
+    n = int(n)
+    assert np.array_equal(np.asarray(v)[:n], wv)
+    assert np.array_equal(np.asarray(c)[:n], wc)
+
+    # min_cov=2 on a pool where only 2.5% of values repeat: eligible values
+    # are far sparser than the threshold model assumes -> must flag for
+    # fallback, never return a short-but-"ok" result
+    v, c, n, ok = bottom_k_threshold(
+        jnp.asarray(pool), jnp.asarray(valid), s=1000, min_cov=2
+    )
+    assert not bool(ok)
+    # a denser-duplicate pool (50% repeated, reads-mode-like) succeeds with
+    # the boost retry the host wrapper uses
+    full = rng.integers(1, (1 << 64) - 1, size=200_000, dtype=np.uint64)
+    pool2 = np.concatenate([full, full[: len(full) // 2]])
+    rng.shuffle(pool2)
+    v, c, n, ok = bottom_k_threshold(
+        jnp.asarray(pool2), jnp.asarray(np.ones(len(pool2), bool)),
+        s=1000, min_cov=2, boost=8, cap=1 << 19,
+    )
+    assert bool(ok)
+    wv, wc = bottom_k_host(pool2, 1000, 2)
+    n = int(n)
+    assert np.array_equal(np.asarray(v)[:n], wv)
+    assert np.array_equal(np.asarray(c)[:n], wc)
+
+    # non-uniform pool: every value in the top of the hash space, so the
+    # threshold collects nothing -> must signal fallback, not lie
+    high = rng.integers((1 << 63), (1 << 64) - 1, size=200_000, dtype=np.uint64)
+    v, c, n, ok = bottom_k_threshold(
+        jnp.asarray(high), jnp.asarray(np.ones(len(high), bool)), s=1000
+    )
+    assert not bool(ok)
+
+    # tiny distinct count below s with saturated threshold is complete
+    small = np.repeat(rng.integers(1, 1000, size=50, dtype=np.uint64), 100)
+    v, c, n, ok = bottom_k_threshold(
+        jnp.asarray(small), jnp.asarray(np.ones(len(small), bool)), s=1000
+    )
+    assert bool(ok)
+    wv, wc = bottom_k_host(small, 1000)
+    n = int(n)
+    assert np.array_equal(np.asarray(v)[:n], wv)
+    assert np.array_equal(np.asarray(c)[:n], wc)
