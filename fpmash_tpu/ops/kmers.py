@@ -48,7 +48,7 @@ def alphabet_mask(alphabet: str) -> np.ndarray:
 
 @partial(
     jax.jit,
-    static_argnames=("k", "noncanonical", "preserve_case", "seed"),
+    static_argnames=("k", "noncanonical", "preserve_case", "seed", "pallas"),
 )
 def _kmer_hashes_acgt(
     seq: jax.Array,
@@ -58,6 +58,7 @@ def _kmer_hashes_acgt(
     noncanonical: bool,
     preserve_case: bool,
     seed: int,
+    pallas: bool = False,
 ):
     """Lane-parallel DNA k-mer hashing (k <= 32): the whole window is kept
     as one 2-bit-packed u64 per position, so canonical selection is a
@@ -131,6 +132,16 @@ def _kmer_hashes_acgt(
     pos = jnp.arange(N, dtype=jnp.int32)
     valid = valid & (pos <= length - k)
 
+    if pallas:
+        # canonical pick + byte rebuild + murmur fused in VMEM on u32
+        # pairs (ops/kmers_pallas.py); the XLA ladder above feeds it
+        from fpmash_tpu.ops.kmers_pallas import canonical_murmur_pallas
+
+        h1 = canonical_murmur_pallas(
+            F, R, k=k, noncanonical=noncanonical, seed=seed
+        )
+        return h1, valid
+
     P = F if noncanonical else jnp.minimum(F, R)
 
     # canonical packed codes -> ASCII bytes -> little-endian u64 words
@@ -172,10 +183,6 @@ def _kmer_hashes_acgt(
     return h1, valid
 
 
-@partial(
-    jax.jit,
-    static_argnames=("alphabet", "k", "noncanonical", "preserve_case", "seed", "use64"),
-)
 def kmer_hashes(
     seq: jax.Array,
     length: jax.Array,
@@ -196,18 +203,48 @@ def kmer_hashes(
     the caller; the full 64-bit h1 is always returned.
 
     The default DNA alphabet takes the packed lane-parallel fast path
-    (:func:`_kmer_hashes_acgt`); other alphabets (protein, custom ``-z``)
-    use the generic gather formulation below.
+    (:func:`_kmer_hashes_acgt`) — with the Pallas canonical+murmur tail
+    on TPU, the pure-XLA byte rebuild elsewhere; other alphabets
+    (protein, custom ``-z``) use the generic gather formulation.
     """
     if set(alphabet) == set("ACGT") and k <= 32:
-        return _kmer_hashes_acgt(
-            seq,
-            length,
-            k=k,
-            noncanonical=noncanonical,
-            preserve_case=preserve_case,
-            seed=seed,
+        kw = dict(
+            k=k, noncanonical=noncanonical, preserve_case=preserve_case, seed=seed
         )
+        if jax.default_backend() != "cpu":
+            try:
+                return _kmer_hashes_acgt(seq, length, pallas=True, **kw)
+            except Exception:  # pragma: no cover - Mosaic trace regression
+                pass
+        return _kmer_hashes_acgt(seq, length, pallas=False, **kw)
+    return _kmer_hashes_generic(
+        seq,
+        length,
+        alphabet=alphabet,
+        k=k,
+        noncanonical=noncanonical,
+        preserve_case=preserve_case,
+        seed=seed,
+        use64=use64,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("alphabet", "k", "noncanonical", "preserve_case", "seed", "use64"),
+)
+def _kmer_hashes_generic(
+    seq: jax.Array,
+    length: jax.Array,
+    *,
+    alphabet: str = "ACGT",
+    k: int,
+    noncanonical: bool = False,
+    preserve_case: bool = False,
+    seed: int = 42,
+    use64: bool = True,
+):
+    """Generic-alphabet gather formulation (see :func:`kmer_hashes`)."""
     N = seq.shape[0]
     seq = seq.astype(jnp.uint8)
 

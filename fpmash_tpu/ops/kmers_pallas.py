@@ -1,0 +1,181 @@
+"""Pallas tail for the classic k-mer path: canonical pick + MurmurHash3.
+
+The XLA front half (:func:`fpmash_tpu.ops.kmers._kmer_hashes_acgt`'s
+doubling ladder) packs each window into big-endian 2-bit codes ``F`` and
+its reverse-complement ``R`` — ~40 fused vector ops per position.  The
+expensive back half (64-bit canonical min, 21 ASCII byte reconstructions,
+and the murmur block/tail/finalize chain) is ~500 u32 ops per position
+that XLA runs through emulated-u64 temporaries in HBM; this kernel runs
+them in VMEM registers on u32 pairs instead.
+
+Layout: positions ride the lanes, GROUPS=8 windows per sublane slab (same
+shape discipline as ops/fused_pallas).  Inputs are the (lo, hi) u32 planes
+of F and R; output is the (lo, hi) planes of murmur h1.  Everything is
+elementwise — no loads besides the block input, no stores besides the
+hash planes, no cross-lane traffic.
+
+Parity: asserted against the scalar chain and the XLA formulation in
+tests (interpret mode) and in scripts/chip_smoke.py on hardware.
+Reference chain: addMinHashes canonical pick (Sketch.cpp:721-723) ->
+MurmurHash3_x64_128 (hash.cpp:12-40).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from fpmash_tpu.ops.fused_pallas import (
+    _add64,
+    _fmix64,
+    _mul5_add,
+    _mul64_const,
+    _rotl64,
+    _u32,
+    _A1,
+    _A2,
+    _C1,
+    _C2,
+)
+
+GROUPS = 8
+ROW_BLOCK = 2048
+
+
+def _mix_k1_pair(kl, kh):
+    kl, kh = _mul64_const(kl, kh, _C1)
+    kl, kh = _rotl64(kl, kh, 31)
+    return _mul64_const(kl, kh, _C2)
+
+
+def _mix_k2_pair(kl, kh):
+    kl, kh = _mul64_const(kl, kh, _C2)
+    kl, kh = _rotl64(kl, kh, 33)
+    return _mul64_const(kl, kh, _C1)
+
+
+def _block_update_pair(h1l, h1h, h2l, h2h, k1l, k1h, k2l, k2h):
+    m1l, m1h = _mix_k1_pair(k1l, k1h)
+    h1l, h1h = h1l ^ m1l, h1h ^ m1h
+    h1l, h1h = _rotl64(h1l, h1h, 27)
+    h1l, h1h = _add64(h1l, h1h, h2l, h2h)
+    h1l, h1h = _mul5_add(h1l, h1h, _A1)
+    m2l, m2h = _mix_k2_pair(k2l, k2h)
+    h2l, h2h = h2l ^ m2l, h2h ^ m2h
+    h2l, h2h = _rotl64(h2l, h2h, 31)
+    h2l, h2h = _add64(h2l, h2h, h1l, h1h)
+    h2l, h2h = _mul5_add(h2l, h2h, _A2)
+    return h1l, h1h, h2l, h2h
+
+
+def _kernel(k: int, noncanonical: bool, seed: int, fl_ref, fh_ref, rl_ref, rh_ref, out_ref):
+    fl, fh = fl_ref[:], fh_ref[:]
+    if noncanonical:
+        pl_, ph_ = fl, fh
+    else:
+        rl, rh = rl_ref[:], rh_ref[:]
+        take_r = (rh < fh) | ((rh == fh) & (rl < fl))
+        pl_ = jnp.where(take_r, rl, fl)
+        ph_ = jnp.where(take_r, rh, fh)
+
+    # ASCII bytes of the canonical window, packed into little-endian u32
+    # murmur words.  Byte j holds code d at bit 2*(k-1-j) of the pair;
+    # b = 65 + 2d + 2*(d>>1) + 11*(d & (d>>1))  maps 0,1,2,3 -> A,C,G,T.
+    nwords = -(-k // 4)
+    if nwords % 2:
+        nwords += 1
+    words = []
+    for w in range(nwords):
+        acc = jnp.zeros_like(pl_)
+        for m in range(4):
+            j = w * 4 + m
+            if j >= k:
+                break
+            s = 2 * (k - 1 - j)
+            d = ((pl_ >> _u32(s)) if s < 32 else (ph_ >> _u32(s - 32))) & _u32(3)
+            d1 = d >> _u32(1)
+            b = _u32(65) + (d << _u32(1)) + (d1 << _u32(1)) + (d & d1) * _u32(11)
+            acc = acc | (b << _u32(8 * m))
+        words.append(acc)
+    if len(words) % 2:
+        words.append(jnp.zeros_like(pl_))
+
+    seedv = jnp.full_like(pl_, seed)
+    h1l, h1h = seedv, jnp.zeros_like(pl_)
+    h2l, h2h = seedv, jnp.zeros_like(pl_)
+    nblocks = k // 16
+    tail = k % 16
+    for blk in range(nblocks):
+        h1l, h1h, h2l, h2h = _block_update_pair(
+            h1l, h1h, h2l, h2h,
+            words[4 * blk], words[4 * blk + 1],
+            words[4 * blk + 2], words[4 * blk + 3],
+        )
+    tw = 4 * nblocks
+    if tail > 8:
+        m2l, m2h = _mix_k2_pair(words[tw + 2], words[tw + 3])
+        h2l, h2h = h2l ^ m2l, h2h ^ m2h
+    if tail > 0:
+        m1l, m1h = _mix_k1_pair(words[tw], words[tw + 1])
+        h1l, h1h = h1l ^ m1l, h1h ^ m1h
+
+    blen = _u32(k)
+    h1l = h1l ^ blen
+    h2l = h2l ^ blen
+    h1l, h1h = _add64(h1l, h1h, h2l, h2h)
+    h2l, h2h = _add64(h2l, h2h, h1l, h1h)
+    h1l, h1h = _fmix64(h1l, h1h)
+    h2l, h2h = _fmix64(h2l, h2h)
+    h1l, h1h = _add64(h1l, h1h, h2l, h2h)
+    h2l, h2h = _add64(h2l, h2h, h1l, h1h)
+
+    G = GROUPS
+    out_ref[0 * G : 1 * G, :] = h1l
+    out_ref[1 * G : 2 * G, :] = h1h
+
+
+@partial(jax.jit, static_argnames=("k", "noncanonical", "seed", "interpret"))
+def canonical_murmur_pallas(
+    F: jax.Array,  # u64[N] big-endian packed window codes
+    R: jax.Array,  # u64[N] packed reverse-complement codes
+    *,
+    k: int,
+    noncanonical: bool = False,
+    seed: int = 42,
+    interpret: bool = False,
+):
+    """h1 u64[N] of the canonical window per position (see module doc)."""
+    N = F.shape[0]
+    G = GROUPS
+    per = G * ROW_BLOCK
+    Np = -(-N // per) * per
+
+    def planes(x):
+        xp = jnp.zeros((Np,), jnp.uint64).at[:N].set(x)
+        lo = (xp & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+        hi = (xp >> jnp.uint64(32)).astype(jnp.uint32)
+        return (
+            lo.reshape(-1, G, ROW_BLOCK),
+            hi.reshape(-1, G, ROW_BLOCK),
+        )
+
+    fl, fh = planes(F)
+    rl, rh = planes(R)
+    call = pl.pallas_call(
+        partial(_kernel, k, noncanonical, seed),
+        out_shape=jax.ShapeDtypeStruct((2 * G, ROW_BLOCK), jnp.uint32),
+        in_specs=[pl.BlockSpec((G, ROW_BLOCK), lambda: (0, 0))] * 4,
+        out_specs=pl.BlockSpec((2 * G, ROW_BLOCK), lambda: (0, 0)),
+        interpret=interpret,
+    )
+    chunks = Np // per
+    if chunks == 1:
+        out = call(fl[0], fh[0], rl[0], rh[0])[None]
+    else:
+        out = jax.lax.map(lambda a: call(*a), (fl, fh, rl, rh))  # [C, 2G, RB]
+    h1l = out[:, :G, :].reshape(Np)[:N]
+    h1h = out[:, G:, :].reshape(Np)[:N]
+    return h1l.astype(jnp.uint64) | (h1h.astype(jnp.uint64) << jnp.uint64(32))

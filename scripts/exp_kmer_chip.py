@@ -37,11 +37,18 @@ def main() -> int:
 
     print(f"N={N} k={k} iters={ITERS} backend={jax.default_backend()}", flush=True)
 
+    from fpmash_tpu.ops.kmers import _kmer_hashes_acgt
+
+    use_pallas = jax.default_backend() != "cpu"
+
     @jax.jit
     def bench_kmer(seq, seq2):
         def body(carry, _):
             sv = jnp.where(carry > 0, seq2, seq)
-            h, valid = kmer_hashes(sv, length, k=k, seed=42, use64=True)
+            h, valid = _kmer_hashes_acgt(
+                sv, length, k=k, noncanonical=False, preserve_case=False,
+                seed=42, pallas=use_pallas,
+            )
             return (h[0] & jnp.uint64(1)).astype(jnp.int32), h.sum()
 
         _, sums = jax.lax.scan(body, jnp.int32(0), None, length=ITERS)
