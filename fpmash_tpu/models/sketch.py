@@ -935,10 +935,9 @@ def _bottom_k(hashes: np.ndarray, p: SketchParams, backend: str):
         # filter under-collects (non-uniform pool or sparse min_cov)
         from fpmash_tpu.ops.bottomk import bottom_k_threshold
 
-        for boost, cap in ((1, 1 << 16), (8, 1 << 19)):
+        for boost in (1, 8):
             values, counts, n, ok = bottom_k_threshold(
-                pool_j, valid_j, s=p.sketch_size, min_cov=p.min_cov,
-                boost=boost, cap=min(cap, N),
+                pool_j, valid_j, s=p.sketch_size, min_cov=p.min_cov, boost=boost,
             )
             if bool(ok):
                 n = int(n)

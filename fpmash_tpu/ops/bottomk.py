@@ -72,14 +72,13 @@ def bottom_k_distinct(hashes: jax.Array, valid: jax.Array, *, s: int, min_cov: i
     return values, counts, n
 
 
-@partial(jax.jit, static_argnames=("s", "min_cov", "cap", "boost"))
+@partial(jax.jit, static_argnames=("s", "min_cov", "boost"))
 def bottom_k_threshold(
     hashes: jax.Array,
     valid: jax.Array,
     *,
     s: int,
     min_cov: int = 1,
-    cap: int = 65536,
     boost: int = 1,
 ):
     """Threshold-filtered bottom-s: avoid sorting the whole pool.
@@ -113,9 +112,25 @@ def bottom_k_threshold(
     mask = x <= t
     m = jnp.sum(mask.astype(jnp.int64))
 
-    idx = jnp.nonzero(mask, size=cap, fill_value=N)[0]
-    pad = idx >= N
-    cand = jnp.where(pad, _U64MAX, x[jnp.minimum(idx, N - 1)])
+    # segmented compaction — NO pool-sized nonzero/gather (a 4M-element
+    # scatter dominated the whole kernel on chip): view the pool as
+    # [C, 1024] rows, sort each row with non-candidates pushed to U64MAX,
+    # and keep a fixed per-row prefix.  Candidates overflow a row's prefix
+    # with vanishing probability (ok=False covers it).
+    cols = 1024 if N % 1024 == 0 else 1
+    C = N // cols
+    P = min(cols, max(16, -(-32 * s // max(C, 1))))
+    y = jnp.where(mask, x, _U64MAX).reshape(C, cols)
+    yhi = (y >> jnp.uint64(32)).astype(jnp.uint32)
+    ylo = (y & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+    yhi, ylo = jax.lax.sort((yhi, ylo), num_keys=2)
+    row_counts = jnp.sum(mask.reshape(C, cols).astype(jnp.int32), axis=1)
+    row_overflow = jnp.max(row_counts) > P
+    cand = (
+        yhi[:, :P].astype(jnp.uint64) << jnp.uint64(32)
+        | ylo[:, :P].astype(jnp.uint64)
+    ).reshape(C * P)
+    cap = C * P
 
     # run-length over the sorted candidates (same math as bottom_k_distinct)
     hi = (cand >> jnp.uint64(32)).astype(jnp.uint32)
@@ -140,7 +155,7 @@ def bottom_k_threshold(
     n = jnp.sum(~opad).astype(jnp.uint32)
 
     all_taken = m >= n_valid  # threshold saturated: candidates = whole pool
-    ok = (m < cap) & ((n_eligible >= s) | all_taken)
+    ok = ~row_overflow & ((n_eligible >= s) | all_taken)
     return values, counts, n, ok
 
 

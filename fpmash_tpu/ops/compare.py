@@ -99,6 +99,24 @@ def pairwise_common_denom(
     return f(ref, ref_len, qry, qry_len)
 
 
+def tile_common_denom(ref, ref_len, qry, qry_len, *, sketch_size: int):
+    """One-tile dispatcher: fused Pallas merge kernel on TPU (tile dims
+    must be multiples of 8), the XLA formulation elsewhere."""
+    R, Q = ref.shape[0], qry.shape[0]
+    if jax.default_backend() != "cpu" and R % 8 == 0 and Q % 8 == 0:
+        try:
+            from fpmash_tpu.ops.compare_pallas import pairwise_common_denom_pallas
+
+            return pairwise_common_denom_pallas(
+                ref, ref_len, qry, qry_len, sketch_size=sketch_size
+            )
+        except Exception:  # pragma: no cover - Mosaic trace regression
+            pass
+    return pairwise_common_denom(
+        ref, ref_len, qry, qry_len, sketch_size=sketch_size
+    )
+
+
 def _pad_batch(arrays, S=None):
     n = len(arrays)
     S = S or max((len(a) for a in arrays), default=1)
@@ -137,7 +155,7 @@ def all_pairs_common_denom(refs, qrys, sketch_size: int, tile: int = 128):
     qry, qry_len = _pad_batch(qrys, S)
     D = visible_device_count()
     if D <= 1 and R * Q <= tile * tile:
-        common, denom = pairwise_common_denom(
+        common, denom = tile_common_denom(
             jnp.asarray(ref),
             jnp.asarray(ref_len),
             jnp.asarray(qry),
@@ -149,8 +167,8 @@ def all_pairs_common_denom(refs, qrys, sketch_size: int, tile: int = 128):
     # fixed-shape tiles (padded) so every tile hits the same executable;
     # per-device query-tile width qd keeps small grids from inflating to
     # D full tiles of padding
-    rtile = min(tile, R)
-    qd = min(tile, -(-Q // D))
+    rtile = min(tile, -(-R // 8) * 8)  # multiples of 8 for the Pallas tile
+    qd = min(tile, -(-(-(-Q // D)) // 8) * 8)
     qtile = qd * D
     Rp = ((R + rtile - 1) // rtile) * rtile
     Qp = ((Q + qtile - 1) // qtile) * qtile
@@ -182,7 +200,7 @@ def all_pairs_common_denom(refs, qrys, sketch_size: int, tile: int = 128):
             if mesh is not None:
                 c, d = sharded_all_pairs(mesh, *tiles, sketch_size)
             else:
-                c, d = pairwise_common_denom(*tiles, sketch_size=sketch_size)
+                c, d = tile_common_denom(*tiles, sketch_size=sketch_size)
             rlo, qlo = r0, q0
             rhi, qhi = min(r0 + rtile, R), min(q0 + qtile, Q)
             common[rlo:rhi, qlo:qhi] = np.asarray(c)[: rhi - rlo, : qhi - qlo]

@@ -154,8 +154,10 @@ from functools import lru_cache
 
 @lru_cache(maxsize=None)
 def _sharded_all_pairs_fn(mesh: Mesh, sketch_size: int):
+    from fpmash_tpu.ops.compare import tile_common_denom
+
     def shard_fn(r, rl, q, ql):
-        return pairwise_common_denom(r, rl, q, ql, sketch_size=sketch_size)
+        return tile_common_denom(r, rl, q, ql, sketch_size=sketch_size)
 
     return jax.jit(
         shard_map(

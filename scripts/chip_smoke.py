@@ -174,6 +174,18 @@ def main() -> int:
             gotc.append(int(c[i, j]) * 100000 + int(d[i, j]))
     check(f"compare ({time.perf_counter()-t0:.0f}s)", gotc, wantc)
 
+    from fpmash_tpu.ops.compare_pallas import pairwise_common_denom_pallas
+
+    t0 = time.perf_counter()
+    cp, dp = jax.device_get(
+        pairwise_common_denom_pallas(
+            jnp.asarray(ref), jnp.asarray(rl), jnp.asarray(qry), jnp.asarray(rl),
+            sketch_size=S,
+        )
+    )
+    gotp = [int(cp[i, j]) * 100000 + int(dp[i, j]) for i in range(8) for j in range(8)]
+    check(f"compare-pallas ({time.perf_counter()-t0:.0f}s)", gotp, wantc)
+
     print("ALL OK" if not failures else f"FAILED: {failures}", flush=True)
     return 1 if failures else 0
 

@@ -23,7 +23,7 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
 
-    from fpmash_tpu.ops.compare import pairwise_common_denom
+    from fpmash_tpu.ops.compare import tile_common_denom as pairwise_kernel
 
     rng = np.random.default_rng(0)
     # sorted distinct u64 hashes per sketch (classic-sketch invariant)
@@ -42,9 +42,7 @@ def main() -> int:
     # chip; data dependencies serialize on device, so blocking on the last
     # call times the whole chain honestly)
     f = jax.jit(
-        lambda q, t: pairwise_common_denom(
-            ref, rl, q ^ t, ql, sketch_size=S
-        )[0]
+        lambda q, t: pairwise_kernel(ref, rl, q ^ t, ql, sketch_size=S)[0]
     )
 
     def chain():

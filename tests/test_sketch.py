@@ -198,7 +198,7 @@ def test_bottom_k_threshold_matches_host():
     rng.shuffle(pool2)
     v, c, n, ok = bottom_k_threshold(
         jnp.asarray(pool2), jnp.asarray(np.ones(len(pool2), bool)),
-        s=1000, min_cov=2, boost=8, cap=1 << 19,
+        s=1000, min_cov=2, boost=8,
     )
     assert bool(ok)
     wv, wc = bottom_k_host(pool2, 1000, 2)
