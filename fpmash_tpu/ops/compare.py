@@ -110,8 +110,11 @@ def tile_common_denom(ref, ref_len, qry, qry_len, *, sketch_size: int):
             return pairwise_common_denom_pallas(
                 ref, ref_len, qry, qry_len, sketch_size=sketch_size
             )
-        except Exception:  # pragma: no cover - Mosaic trace regression
-            pass
+        except Exception as e:  # pragma: no cover - Mosaic trace regression
+            from fpmash_tpu.utils.trace import log
+
+            log(f"compare: pallas kernel unavailable ({type(e).__name__}), "
+                "falling back to XLA merge")
     return pairwise_common_denom(
         ref, ref_len, qry, qry_len, sketch_size=sketch_size
     )

@@ -80,16 +80,24 @@ def _compare_kernel(S2: int, sketch_size: int, al_ref, ah_ref, bl_ref, bh_ref,
     sh = 1
     while sh < n2:
         t = jnp.roll(s, sh, axis=1)
-        s = s + jnp.where(lane >= sh, t, 0)
+        # NB: a Python-int 0 here promotes through int64 under x64 and
+        # Mosaic's convert lowering recurses forever on 64->32-bit casts;
+        # keep every kernel constant explicitly 32-bit.
+        s = s + jnp.where(lane >= sh, t, jnp.zeros_like(t))
         sh *= 2
     rank = s - 1  # 0-based union rank of each element's value
 
+    # dtype pinned: under x64, integer jnp.sum accumulates in int64 (NumPy
+    # semantics) and Mosaic rejects 64-bit types in-kernel.
     common = jnp.sum(
         (eq_prev & live & (rank < sketch_size)).astype(jnp.int32),
         axis=1,
         keepdims=True,
+        dtype=jnp.int32,
     )
-    union = jnp.sum(is_start.astype(jnp.int32), axis=1, keepdims=True)
+    union = jnp.sum(
+        is_start.astype(jnp.int32), axis=1, keepdims=True, dtype=jnp.int32
+    )
     denom = jnp.minimum(union, sketch_size)
     cout_ref[:] = jnp.broadcast_to(common, (G, 128))
     dout_ref[:] = jnp.broadcast_to(denom, (G, 128))

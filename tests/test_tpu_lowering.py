@@ -1,0 +1,94 @@
+"""AOT Mosaic lowering of every production Pallas kernel, on CPU.
+
+Interpret-mode tests cannot catch Mosaic-only lowering failures; two bug
+classes have actually shipped here:
+
+* a bare Python int literal in a kernel promotes through int64 under x64
+  and Mosaic's convert lowering recurses forever (RecursionError at
+  compile — compare_pallas, 2026-08-21);
+* ``jnp.sum`` over int32 accumulates in int64 under x64 (NumPy
+  semantics), and Mosaic rejects 64-bit in-kernel types outright.
+
+``jit(f).trace(args).lower(lowering_platforms=("tpu",))`` runs the full
+Mosaic kernel lowering pipeline without TPU hardware, so both classes are
+caught in CI.  It does NOT catch Mosaic mis-compiles (wrong values) —
+that is scripts/chip_smoke.py's job on the real chip.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+def _lower_tpu(fn, *args):
+    lowered = jax.jit(fn).trace(*args).lower(lowering_platforms=("tpu",))
+    text = lowered.as_text()
+    assert "tpu_custom_call" in text or "stablehlo" in text
+    return text
+
+
+def test_lower_fused_cfl_kernels():
+    from fpmash_tpu.ops.fused_pallas import fingerprint_hashes_fused
+
+    rng = np.random.default_rng(0)
+    lut = np.frombuffer(b"ACGT", dtype=np.uint8)
+    w = jnp.asarray(lut[rng.integers(0, 4, size=(64, 100))])
+    l = jnp.full((64,), 100, jnp.int32)
+    for variant in ("inline", "split"):
+        for pack in ("byte4", "dna16"):
+            _lower_tpu(
+                lambda w, l, v=variant, p=pack: fingerprint_hashes_fused(
+                    w, l, seed=42, pack=p, variant=v
+                ),
+                w,
+                l,
+            )
+
+
+def test_lower_icfl_kernels():
+    from fpmash_tpu.ops.icfl_pallas import icfl_family_hashes_fused
+
+    rng = np.random.default_rng(0)
+    lut = np.frombuffer(b"ACGT", dtype=np.uint8)
+    w = jnp.asarray(lut[rng.integers(0, 4, size=(64, 100))])
+    l = jnp.full((64,), 100, jnp.int32)
+    for family in ("ICFL", "ICFL_COMB"):
+        _lower_tpu(
+            lambda w, l, f=family: icfl_family_hashes_fused(
+                w, l, family=f, seed=42, pack="dna16"
+            ),
+            w,
+            l,
+        )
+
+
+def test_lower_kmer_kernel():
+    from fpmash_tpu.ops.kmers_pallas import canonical_murmur_pallas
+
+    rng = np.random.default_rng(0)
+    F = jnp.asarray(rng.integers(0, 1 << 42, size=(256,), dtype=np.uint64))
+    R = jnp.asarray(rng.integers(0, 1 << 42, size=(256,), dtype=np.uint64))
+    _lower_tpu(lambda a, b: canonical_murmur_pallas(a, b, k=21), F, R)
+
+
+@pytest.mark.parametrize("S", [128, 1000])
+def test_lower_compare_kernel(S):
+    from fpmash_tpu.ops.compare_pallas import pairwise_common_denom_pallas
+
+    rng = np.random.default_rng(0)
+    ref = jnp.asarray(
+        np.sort(rng.integers(1, 1 << 30, size=(8, S), dtype=np.uint64), axis=1)
+    )
+    rl = jnp.full((8,), S, jnp.int32)
+    _lower_tpu(
+        lambda a, al, b, bl: pairwise_common_denom_pallas(
+            a, al, b, bl, sketch_size=S
+        ),
+        ref,
+        rl,
+        ref,
+        rl,
+    )
