@@ -101,9 +101,23 @@ def pairwise_common_denom(
 
 def tile_common_denom(ref, ref_len, qry, qry_len, *, sketch_size: int):
     """One-tile dispatcher: fused Pallas merge kernel on TPU (tile dims
-    must be multiples of 8), the XLA formulation elsewhere."""
+    must be multiples of 8), the XLA formulation elsewhere.
+
+    ``FPMASH_NO_COMPARE_PALLAS=1`` forces the XLA merge.  NB the
+    try/except only protects EAGER dispatch — under an outer jit (the
+    sharded shard_map path) a Mosaic compile error surfaces at the outer
+    compile, outside this scope; the AOT lowering tests + chip smoke are
+    the guard there.
+    """
+    import os
+
     R, Q = ref.shape[0], qry.shape[0]
-    if jax.default_backend() != "cpu" and R % 8 == 0 and Q % 8 == 0:
+    if (
+        jax.default_backend() != "cpu"
+        and R % 8 == 0
+        and Q % 8 == 0
+        and not os.environ.get("FPMASH_NO_COMPARE_PALLAS")
+    ):
         try:
             from fpmash_tpu.ops.compare_pallas import pairwise_common_denom_pallas
 
