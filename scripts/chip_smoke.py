@@ -50,141 +50,172 @@ def main() -> int:
         if not ok:
             failures.append(name)
 
+    def guard(name, fn):
+        """One crashing kernel (e.g. a Mosaic compile regression) must not
+        mask the remaining checks — run each section through this."""
+        try:
+            fn()
+        except Exception as e:
+            print(f"{name}: ERROR {type(e).__name__}: {str(e)[:160]}", flush=True)
+            failures.append(name)
+
     B, W = 512, 100
     lens = np.full((B,), W, np.int32)
 
     # --- fused CFL: variants x packings, plus non-ACGT bytes on byte4 ---
     from fpmash_tpu.ops.fused_pallas import fingerprint_hashes_fused
 
+    def _cfl_case(variant, pack):
+        arr = _words(rng, B, W, pure=(pack == "dna16"))
+        t0 = time.perf_counter()
+        h1, _, fc = jax.device_get(
+            fingerprint_hashes_fused(
+                jnp.asarray(arr), jnp.asarray(lens), seed=42,
+                pack=pack, variant=variant,
+            )
+        )
+        want = [
+            hash_u64_vector(
+                [len(f) for f in cfl(r.tobytes().decode())], seed=42, use64=True
+            )
+            for r in arr[:64]
+        ]
+        check(
+            f"cfl/{variant}/{pack} ({time.perf_counter()-t0:.0f}s)",
+            h1[:64], want,
+        )
+
     for variant in ("inline", "split"):
         for pack in ("byte4", "dna16"):
-            arr = _words(rng, B, W, pure=(pack == "dna16"))
-            t0 = time.perf_counter()
-            h1, _, fc = jax.device_get(
-                fingerprint_hashes_fused(
-                    jnp.asarray(arr), jnp.asarray(lens), seed=42,
-                    pack=pack, variant=variant,
-                )
-            )
-            want = [
-                hash_u64_vector(
-                    [len(f) for f in cfl(r.tobytes().decode())], seed=42, use64=True
-                )
-                for r in arr[:64]
-            ]
-            check(
-                f"cfl/{variant}/{pack} ({time.perf_counter()-t0:.0f}s)",
-                h1[:64], want,
-            )
+            guard(f"cfl/{variant}/{pack}", lambda v=variant, p=pack: _cfl_case(v, p))
 
     # --- split kernel at generalized chunk width (M=10 mask words) ---
-    arr = _words(rng, B, 300, pure=True)
-    lens300 = np.full((B,), 300, np.int32)
-    t0 = time.perf_counter()
-    h1, _, fc = jax.device_get(
-        fingerprint_hashes_fused(
-            jnp.asarray(arr), jnp.asarray(lens300), seed=42,
-            pack="dna16", variant="split",
+    def _l300_case():
+        arr = _words(rng, B, 300, pure=True)
+        lens300 = np.full((B,), 300, np.int32)
+        t0 = time.perf_counter()
+        h1, _, fc = jax.device_get(
+            fingerprint_hashes_fused(
+                jnp.asarray(arr), jnp.asarray(lens300), seed=42,
+                pack="dna16", variant="split",
+            )
         )
-    )
-    want = [
-        hash_u64_vector(
-            [len(f) for f in cfl(r.tobytes().decode())], seed=42, use64=True
-        )
-        for r in arr[:64]
-    ]
-    check(f"cfl/split/dna16/L300 ({time.perf_counter()-t0:.0f}s)", h1[:64], want)
+        want = [
+            hash_u64_vector(
+                [len(f) for f in cfl(r.tobytes().decode())], seed=42, use64=True
+            )
+            for r in arr[:64]
+        ]
+        check(f"cfl/split/dna16/L300 ({time.perf_counter()-t0:.0f}s)", h1[:64], want)
+
+    guard("cfl/split/dna16/L300", _l300_case)
 
     # --- fused ICFL / ICFL_COMB ---
     from fpmash_tpu.ops.icfl_pallas import icfl_family_hashes_fused
 
+    def _icfl_case(family, fn, pack):
+        arr = _words(rng, B, W, pure=True)
+        t0 = time.perf_counter()
+        h1, _, cnt, ok = jax.device_get(
+            icfl_family_hashes_fused(
+                jnp.asarray(arr), jnp.asarray(lens), family=family,
+                seed=42, pack=pack,
+            )
+        )
+        assert ok.all()
+        want = [
+            hash_u64_vector(
+                [len(f) for f in fn(r.tobytes().decode())], seed=42, use64=True
+            )
+            for r in arr[:64]
+        ]
+        check(
+            f"{family.lower()}/{pack} ({time.perf_counter()-t0:.0f}s)",
+            h1[:64], want,
+        )
+
     for family, fn in (("ICFL", icfl), ("ICFL_COMB", d_icfl)):
         for pack in ("byte4", "dna16"):
-            arr = _words(rng, B, W, pure=True)
-            t0 = time.perf_counter()
-            h1, _, cnt, ok = jax.device_get(
-                icfl_family_hashes_fused(
-                    jnp.asarray(arr), jnp.asarray(lens), family=family,
-                    seed=42, pack=pack,
-                )
-            )
-            assert ok.all()
-            want = [
-                hash_u64_vector(
-                    [len(f) for f in fn(r.tobytes().decode())], seed=42, use64=True
-                )
-                for r in arr[:64]
-            ]
-            check(
-                f"{family.lower()}/{pack} ({time.perf_counter()-t0:.0f}s)",
-                h1[:64], want,
-            )
+            guard(f"{family.lower()}/{pack}",
+                  lambda f=family, sc=fn, p=pack: _icfl_case(f, sc, p))
 
     # --- packed k-mer path k=21 canonical ---
     from fpmash_tpu.ops.kmers import kmer_hashes
     from fpmash_tpu.scalar.murmur3 import hash_bytes
 
-    N = 4096
-    seq = _words(rng, 1, N, pure=True)[0]
-    t0 = time.perf_counter()
-    h, valid = jax.device_get(
-        kmer_hashes(jnp.asarray(seq), jnp.int32(N), k=21, seed=42, use64=True)
-    )
-    comp = {65: 84, 67: 71, 71: 67, 84: 65}
-    want = []
-    s = seq.tobytes()
-    for i in range(64):
-        kmer = s[i : i + 21]
-        rc = bytes(comp[c] for c in reversed(kmer))
-        want.append(hash_bytes(min(kmer, rc), seed=42, use64=True))
-    assert valid[:64].all()
-    check(f"kmer21 ({time.perf_counter()-t0:.0f}s)", h[:64], want)
+    def _kmer_case():
+        N = 4096
+        seq = _words(rng, 1, N, pure=True)[0]
+        t0 = time.perf_counter()
+        h, valid = jax.device_get(
+            kmer_hashes(jnp.asarray(seq), jnp.int32(N), k=21, seed=42, use64=True)
+        )
+        comp = {65: 84, 67: 71, 71: 67, 84: 65}
+        want = []
+        sb = seq.tobytes()
+        for i in range(64):
+            kmer = sb[i : i + 21]
+            rc = bytes(comp[c] for c in reversed(kmer))
+            want.append(hash_bytes(min(kmer, rc), seed=42, use64=True))
+        assert valid[:64].all()
+        check(f"kmer21 ({time.perf_counter()-t0:.0f}s)", h[:64], want)
+
+    guard("kmer21", _kmer_case)
 
     # --- bottom-k + compare ---
     from fpmash_tpu.ops.bottomk import bottom_k_distinct, bottom_k_host
     from fpmash_tpu.ops.compare import pairwise_common_denom
 
-    pool = rng.integers(1, 1 << 40, size=8192, dtype=np.uint64)
-    t0 = time.perf_counter()
-    vals, counts, nv = jax.device_get(
-        bottom_k_distinct(jnp.asarray(pool), jnp.ones(8192, bool), s=128)
-    )
-    wv, wc = bottom_k_host(pool, 128)
-    check(f"bottomk ({time.perf_counter()-t0:.0f}s)", vals[: len(wv)], list(map(int, wv)))
+    def _bottomk_case():
+        pool = rng.integers(1, 1 << 40, size=8192, dtype=np.uint64)
+        t0 = time.perf_counter()
+        vals, counts, nv = jax.device_get(
+            bottom_k_distinct(jnp.asarray(pool), jnp.ones(8192, bool), s=128)
+        )
+        wv, wc = bottom_k_host(pool, 128)
+        check(f"bottomk ({time.perf_counter()-t0:.0f}s)", vals[: len(wv)], list(map(int, wv)))
+
+    guard("bottomk", _bottomk_case)
 
     S = 128
     ref = np.stack([np.unique(rng.integers(1, 1 << 30, size=S * 2, dtype=np.uint64))[:S] for _ in range(8)])
     qry = np.stack([np.unique(rng.integers(1, 1 << 30, size=S * 2, dtype=np.uint64))[:S] for _ in range(8)])
     rl = np.full(8, S, np.int32)
-    t0 = time.perf_counter()
-    c, d = jax.device_get(
-        pairwise_common_denom(
-            jnp.asarray(ref), jnp.asarray(rl), jnp.asarray(qry), jnp.asarray(rl),
-            sketch_size=S,
-        )
-    )
     from fpmash_tpu.models.distance import compare_sketches
 
     wantc = []
-    gotc = []
     for i in range(8):
         for j in range(8):
             r = compare_sketches(ref[i], qry[j], 0, 0, S, 21, 4.0**21)
             wantc.append(r.numer * 100000 + r.denom)
-            gotc.append(int(c[i, j]) * 100000 + int(d[i, j]))
-    check(f"compare ({time.perf_counter()-t0:.0f}s)", gotc, wantc)
 
-    from fpmash_tpu.ops.compare_pallas import pairwise_common_denom_pallas
-
-    t0 = time.perf_counter()
-    cp, dp = jax.device_get(
-        pairwise_common_denom_pallas(
-            jnp.asarray(ref), jnp.asarray(rl), jnp.asarray(qry), jnp.asarray(rl),
-            sketch_size=S,
+    def _compare_case():
+        t0 = time.perf_counter()
+        c, d = jax.device_get(
+            pairwise_common_denom(
+                jnp.asarray(ref), jnp.asarray(rl), jnp.asarray(qry), jnp.asarray(rl),
+                sketch_size=S,
+            )
         )
-    )
-    gotp = [int(cp[i, j]) * 100000 + int(dp[i, j]) for i in range(8) for j in range(8)]
-    check(f"compare-pallas ({time.perf_counter()-t0:.0f}s)", gotp, wantc)
+        gotc = [int(c[i, j]) * 100000 + int(d[i, j]) for i in range(8) for j in range(8)]
+        check(f"compare ({time.perf_counter()-t0:.0f}s)", gotc, wantc)
+
+    guard("compare", _compare_case)
+
+    def _compare_pallas_case():
+        from fpmash_tpu.ops.compare_pallas import pairwise_common_denom_pallas
+
+        t0 = time.perf_counter()
+        cp, dp = jax.device_get(
+            pairwise_common_denom_pallas(
+                jnp.asarray(ref), jnp.asarray(rl), jnp.asarray(qry), jnp.asarray(rl),
+                sketch_size=S,
+            )
+        )
+        gotp = [int(cp[i, j]) * 100000 + int(dp[i, j]) for i in range(8) for j in range(8)]
+        check(f"compare-pallas ({time.perf_counter()-t0:.0f}s)", gotp, wantc)
+
+    guard("compare-pallas", _compare_pallas_case)
 
     print("ALL OK" if not failures else f"FAILED: {failures}", flush=True)
     return 1 if failures else 0
