@@ -64,7 +64,9 @@ def _compare_kernel(S2: int, sketch_size: int, al_ref, ah_ref, bl_ref, bh_ref,
         qh = jnp.where(upper, gh, fh)
         p_less = (qh < xh) | ((qh == xh) & (ql < xl))
         p_greater = (xh < qh) | ((xh == qh) & (xl < ql))
-        take = jnp.where(upper, p_greater, p_less)
+        # no jnp.where over i1 operands — Mosaic lowers bool selects via an
+        # i8 trunci it cannot compile; pure boolean algebra instead
+        take = (upper & p_greater) | (~upper & p_less)
         xl = jnp.where(take, ql, xl)
         xh = jnp.where(take, qh, xh)
         d //= 2
