@@ -164,9 +164,21 @@ def all_pairs_dist(
 
     n_pairs = len(ref_sketch) * len(qry_sketch)
     use_device = backend == "jax" or (backend == "auto" and n_pairs >= 64)
-    if use_device and _all_sorted(ref_sketch) and _all_sorted(qry_sketch):
+    if use_device:
+        # sorted lists (every classic sketch) take the closed-form batch
+        # kernel; unsorted fingerprint lists take the batched literal-walk
+        # kernel (ops/walk.py) — both asserted equivalent to the Python
+        # walk in tests
+        sorted_ = _all_sorted(ref_sketch) and _all_sorted(qry_sketch)
         yield from _all_pairs_dist_device(
-            ref_sketch, qry_sketch, sketch_size, k, space, max_distance, max_pvalue
+            ref_sketch,
+            qry_sketch,
+            sketch_size,
+            k,
+            space,
+            max_distance,
+            max_pvalue,
+            sorted_=sorted_,
         )
         return
 
@@ -194,13 +206,19 @@ def _all_sorted(sketch) -> bool:
 
 
 def _all_pairs_dist_device(
-    ref_sketch, qry_sketch, sketch_size, k, space, max_distance, max_pvalue
+    ref_sketch, qry_sketch, sketch_size, k, space, max_distance, max_pvalue,
+    sorted_=True,
 ):
-    from fpmash_tpu.ops.compare import all_pairs_common_denom
-
     refs = [r.hashes for r in ref_sketch.references]
     qrys = [q.hashes for q in qry_sketch.references]
-    common, denom = all_pairs_common_denom(refs, qrys, sketch_size)
+    if sorted_:
+        from fpmash_tpu.ops.compare import all_pairs_common_denom
+
+        common, denom = all_pairs_common_denom(refs, qrys, sketch_size)
+    else:
+        from fpmash_tpu.ops.walk import all_pairs_walk
+
+        common, denom = all_pairs_walk(refs, qrys, sketch_size)
     for qi, q in enumerate(qry_sketch.references):
         for ri, r in enumerate(ref_sketch.references):
             c, d = int(common[ri, qi]), int(denom[ri, qi])

@@ -182,6 +182,30 @@ def sharded_all_pairs(mesh: Mesh, ref, ref_len, qry, qry_len, sketch_size: int):
 
 
 @lru_cache(maxsize=None)
+def _sharded_all_pairs_walk_fn(mesh: Mesh, sketch_size: int):
+    from fpmash_tpu.ops.walk import pairwise_walk_common_denom
+
+    def shard_fn(r, rl, q, ql):
+        return pairwise_walk_common_denom(r, rl, q, ql, sketch_size=sketch_size)
+
+    return jax.jit(
+        shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(P(), P(), P("dp", None), P("dp")),
+            out_specs=(P(None, "dp"), P(None, "dp")),
+            check_vma=False,
+        )
+    )
+
+
+def sharded_all_pairs_walk(mesh: Mesh, ref, ref_len, qry, qry_len, sketch_size: int):
+    """Order-dependent walk (unsorted fingerprint lists) with queries
+    sharded over dp — same layout as :func:`sharded_all_pairs`."""
+    return _sharded_all_pairs_walk_fn(mesh, sketch_size)(ref, ref_len, qry, qry_len)
+
+
+@lru_cache(maxsize=None)
 def _sharded_positional_fn(mesh: Mesh):
     def shard_fn(rows, row_lens, table, table_lens):
         # rows [N/D, S] shard; table [N, S] replicated; per-device tile
