@@ -22,7 +22,6 @@ the rewrite adds).
 from __future__ import annotations
 
 import sys
-from collections import defaultdict
 
 import numpy as np
 
@@ -63,24 +62,30 @@ def estimate_identity(common: int, denom: int, kmer_size: int) -> float:
 def run(args) -> int:
     ref = Sketch()
     ref.load_msh(args.reference)
-    p = ref.params
 
-    # hash -> set of reference indices (CommandScreen.cpp:81-102)
-    hash_table: dict[int, set[int]] = defaultdict(set)
-    for i, r in enumerate(ref.references):
-        for h in map(int, r.hashes):
-            hash_table[h].add(i)
-    set_size = len(hash_table)
+    # The reference builds a hash -> {reference indices} table here
+    # (CommandScreen.cpp:81-102).  At its target scale (a 100k-reference
+    # RefSeq sketch) a per-hash Python dict loop dominates the whole
+    # command, so the table is kept in CSR form instead: concatenated hash
+    # arrays + per-hash reference ids, dissolved into sorted-array ops.
+    n_refs = len(ref.references)
+    seg_len = np.array([len(r.hashes) for r in ref.references], np.int64)
+    cat = (
+        np.concatenate([np.asarray(r.hashes, np.uint64) for r in ref.references])
+        if n_refs
+        else np.zeros(0, np.uint64)
+    )
+    set_size = len(np.unique(cat))
     print(f"Loading {args.reference}...", file=sys.stderr)
     print(f"   {set_size} distinct hashes.", file=sys.stderr)
 
     if args.fingerprint:
         # the fork's rewrite uses the reference table size as setSize
-        return _run_fp_query(args, ref, hash_table, set_size)
-    return _run_streaming(args, ref, hash_table)
+        return _run_fp_query(args, ref, set_size)
+    return _run_streaming(args, ref, cat, seg_len)
 
 
-def _run_streaming(args, ref: Sketch, hash_table) -> int:
+def _run_streaming(args, ref: Sketch, cat: np.ndarray, seg_len: np.ndarray) -> int:
     """Upstream semantics: stream all query k-mers; report per reference."""
     from fpmash_tpu.commands.common import ALPHABET_PROTEIN
     from fpmash_tpu.utils.fasta import read_sequences
@@ -122,13 +127,7 @@ def _run_streaming(args, ref: Sketch, hash_table) -> int:
     # exactly this scale reason, CommandScreen.cpp:81-102; a 100k-reference
     # RefSeq sketch is the target workload)
     n_refs = len(ref.references)
-    seg_len = np.array([len(r.hashes) for r in ref.references], np.int64)
     ends = np.cumsum(seg_len)
-    cat = (
-        np.concatenate([np.asarray(r.hashes, np.uint64) for r in ref.references])
-        if n_refs
-        else np.zeros(0, np.uint64)
-    )
     if len(values) and len(cat):
         idx = np.minimum(np.searchsorted(values, cat), len(values) - 1)
         present = values[idx] == cat
@@ -144,31 +143,50 @@ def _run_streaming(args, ref: Sketch, hash_table) -> int:
     depths = [
         [int(c) for c in depth_cat[a:b]] for a, b in zip(shared_starts, shared_ends)
     ]
-    hash_counts: dict[int, int] = {}
     if args.winner:
-        member = set()
-        for r in ref.references:
-            member.update(map(int, r.hashes))
-        for v, c in zip(map(int, values), map(int, counts)):
-            if v in member:
-                hash_counts[v] = c
-
-    if args.winner:
+        # Winner-takes-all reallocation (CommandScreen.cpp:152-200): every
+        # distinct reference hash seen in the query stream is credited to
+        # the single reference with the best pre-reallocation score (ties:
+        # greater length; the reference's residual tie-break is its hash
+        # container's iteration order, i.e. unspecified — pinned here to
+        # the lowest reference index).  Segmented argmax over the CSR
+        # arrays: no per-hash Python loop.
         print("Reallocating to winners...", file=sys.stderr)
-        scores = [
-            estimate_identity(shared[i], len(ref.references[i].hashes), p.kmer_size)
-            for i in range(len(ref.references))
-        ]
-        shared = [0] * len(ref.references)
-        depths = [[] for _ in ref.references]
-        for v, c in hash_counts.items():
-            idxs = hash_table[v]
-            best = max(
-                idxs,
-                key=lambda i: (scores[i], ref.references[i].length),
-            )
-            shared[best] += 1
-            depths[best].append(c)
+        scores = np.array(
+            [
+                estimate_identity(shared[i], int(seg_len[i]), p.kmer_size)
+                for i in range(n_refs)
+            ]
+        )
+        lengths = np.array([r.length for r in ref.references], np.int64)
+        ref_ids = np.repeat(np.arange(n_refs, dtype=np.int64), seg_len)
+        occ = np.nonzero(present)[0]  # reference-hash occurrences in query
+        grp = idx[occ]  # rank of the hash among the distinct query values
+        rid = ref_ids[occ]
+        # ascending lexsort, group primary: the last row of each group has
+        # max score, then max length, then min reference index
+        order = np.lexsort((-rid, lengths[rid], scores[rid], grp))
+        grp_o, rid_o = grp[order], rid[order]
+        last = (
+            np.nonzero(np.diff(grp_o, append=-1))[0]
+            if len(grp_o)
+            else np.zeros(0, np.int64)
+        )
+        winners = rid_o[last]
+        depth_vals = counts[grp_o[last]]
+        shared_arr = np.bincount(winners, minlength=n_refs).astype(np.int64)
+        # per-winner sorted depth lists -> medians, in one grouped lexsort
+        dorder = np.lexsort((depth_vals, winners))
+        w_sorted, d_sorted = winners[dorder], depth_vals[dorder]
+        starts = np.concatenate(
+            [[0], np.cumsum(np.bincount(w_sorted, minlength=n_refs))]
+        )[:-1]
+        medians = np.zeros(n_refs, np.int64)
+        nz = shared_arr > 0
+        medians[nz] = d_sorted[(starts + shared_arr // 2)[nz]]
+        shared = [int(s) for s in shared_arr]
+    else:
+        medians = None
 
     print("Writing output...", file=sys.stderr)
     for i, r in enumerate(ref.references):
@@ -181,7 +199,10 @@ def _run_streaming(args, ref: Sketch, hash_table) -> int:
         pv = screen_pvalue(shared[i], set_size, p.kmer_space, denom)
         if pv > args.pvalue:
             continue
-        med = sorted(depths[i])[shared[i] // 2] if shared[i] > 0 else 0
+        if medians is not None:
+            med = int(medians[i]) if shared[i] > 0 else 0
+        else:
+            med = sorted(depths[i])[shared[i] // 2] if shared[i] > 0 else 0
         sys.stdout.write(
             f"{format_g(identity)}\t{shared[i]}/{denom}\t{med}\t{format_g(pv)}"
             f"\t{r.name}\t{r.comment}\n"
@@ -189,7 +210,7 @@ def _run_streaming(args, ref: Sketch, hash_table) -> int:
     return 0
 
 
-def _run_fp_query(args, ref: Sketch, hash_table, set_size) -> int:
+def _run_fp_query(args, ref: Sketch, set_size) -> int:
     """The fork's sketch-based query path (-fp): one line per query
     reference (CommandScreen.cpp:116-257).
 
@@ -242,12 +263,16 @@ def _run_fp_query(args, ref: Sketch, hash_table, set_size) -> int:
         # 1..c_1, 1..c_2, ... — reproduce from the segment's present hashes
         seg = cat[ends[qi] - seg_len[qi] : ends[qi]]
         seg = seg[present[ends[qi] - seg_len[qi] : ends[qi]]]
-        dep = []
-        counts: dict[int, int] = defaultdict(int)
-        for h in map(int, seg):
-            counts[h] += 1
-            dep.append(counts[h])
-        med = sorted(dep)[shared // 2] if shared else 0
+        # sorted depth list for occurrence counts c_1..c_m is the multiset
+        # ∪_j {1..c_j}; its t-th level has #{j : c_j >= t} entries, so the
+        # median falls at the first level whose cumulative size exceeds
+        # shared // 2 — no per-hash Python loop
+        if shared:
+            cnt_u = np.unique(seg, return_counts=True)[1]
+            per_level = (cnt_u[None, :] >= np.arange(1, cnt_u.max() + 1)[:, None]).sum(1)
+            med = 1 + int(np.searchsorted(np.cumsum(per_level), shared // 2 + 1))
+        else:
+            med = 0
         sys.stdout.write(
             f"{format_g(identity)}\t{shared}/{denom}\t{med}\t{format_g(pv)}"
             f"\t{q.name}\t{q.comment}\n"
