@@ -311,7 +311,14 @@ class Sketch:
                             ),
                             (batch, lengths),
                         )
-                    except Exception:
+                    except Exception as e:
+                        from fpmash_tpu.utils.trace import warn
+
+                        warn(
+                            f"sketch: fused ICFL pallas pipeline unavailable "
+                            f"({type(e).__name__}), falling back to the "
+                            "split boundary-kernel path (slower)"
+                        )
                         h1 = fac_count = ok = None
                 if h1 is None:
                     # family-composed boundary kernels (ICFL automaton +
@@ -362,7 +369,14 @@ class Sketch:
                         ),
                         (batch, lengths),
                     )
-                except Exception:
+                except Exception as e:
+                    from fpmash_tpu.utils.trace import warn
+
+                    warn(
+                        f"sketch: fused Duval+murmur pallas kernel "
+                        f"unavailable ({type(e).__name__}), falling back to "
+                        "the split XLA pipeline (slower)"
+                    )
                     h1 = fac_count = None
             if h1 is None:
                 def _split_cfl(b, l):

@@ -125,10 +125,10 @@ def tile_common_denom(ref, ref_len, qry, qry_len, *, sketch_size: int):
                 ref, ref_len, qry, qry_len, sketch_size=sketch_size
             )
         except Exception as e:  # pragma: no cover - Mosaic trace regression
-            from fpmash_tpu.utils.trace import log
+            from fpmash_tpu.utils.trace import warn
 
-            log(f"compare: pallas kernel unavailable ({type(e).__name__}), "
-                "falling back to XLA merge")
+            warn(f"compare: pallas kernel unavailable ({type(e).__name__}), "
+                 "falling back to XLA merge (slower)")
     return pairwise_common_denom(
         ref, ref_len, qry, qry_len, sketch_size=sketch_size
     )

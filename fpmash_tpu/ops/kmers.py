@@ -214,8 +214,14 @@ def kmer_hashes(
         if jax.default_backend() != "cpu":
             try:
                 return _kmer_hashes_acgt(seq, length, pallas=True, **kw)
-            except Exception:  # pragma: no cover - Mosaic trace regression
-                pass
+            except Exception as e:  # pragma: no cover - Mosaic regression
+                from fpmash_tpu.utils.trace import warn
+
+                warn(
+                    f"kmers: pallas canonical+murmur tail unavailable "
+                    f"({type(e).__name__}), falling back to the XLA byte "
+                    "rebuild (slower)"
+                )
         return _kmer_hashes_acgt(seq, length, pallas=False, **kw)
     return _kmer_hashes_generic(
         seq,

@@ -1,0 +1,187 @@
+"""Device-route selection guards.
+
+A Mosaic regression must never silently demote the production Pallas
+kernels to their slower XLA fallbacks: the dispatchers now warn loudly
+(utils/trace.warn, always-on) and these tests assert, with a mocked TPU
+backend, that (a) the Pallas route is actually SELECTED on a TPU backend
+and (b) a failing Pallas kernel produces one warning plus a correct
+fallback result.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+@pytest.fixture(autouse=True)
+def _fresh_caches(monkeypatch):
+    """Mocked kernels must not leak into jit caches, nor warn dedup across
+    tests."""
+    from fpmash_tpu.utils import trace
+
+    monkeypatch.setattr(trace, "_warned", set())
+    yield
+    jax.clear_caches()
+
+
+def _mock_tpu(monkeypatch):
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+
+def test_kmer_route_selects_pallas_on_tpu(monkeypatch):
+    from fpmash_tpu.ops import kmers_pallas
+    from fpmash_tpu.ops.kmers import encode_seq, kmer_hashes
+
+    _mock_tpu(monkeypatch)
+    calls = []
+
+    def fake(F, R, *, k, noncanonical, seed):
+        calls.append(k)
+        return jnp.zeros(F.shape, jnp.uint64)
+
+    monkeypatch.setattr(kmers_pallas, "canonical_murmur_pallas", fake)
+    seq = jnp.asarray(encode_seq("ACGT" * 64))
+    kmer_hashes(seq, jnp.int32(256), k=21, seed=42)
+    assert calls == [21], "TPU backend did not select the pallas kmer tail"
+
+
+def test_kmer_route_fallback_warns_and_is_correct(monkeypatch, capsys):
+    from fpmash_tpu.ops import kmers_pallas
+    from fpmash_tpu.ops.kmers import encode_seq, kmer_hashes
+
+    seq = jnp.asarray(encode_seq("ACGTTGCA" * 32))
+    ln = jnp.int32(256)
+    expect_h, expect_v = kmer_hashes(seq, ln, k=21, seed=42)  # cpu: XLA route
+
+    _mock_tpu(monkeypatch)
+
+    def broken(F, R, *, k, noncanonical, seed):
+        raise ValueError("simulated Mosaic regression")
+
+    monkeypatch.setattr(kmers_pallas, "canonical_murmur_pallas", broken)
+    h, v = kmer_hashes(seq, ln, k=21, seed=42)
+    err = capsys.readouterr().err
+    assert "WARNING" in err and "falling back" in err
+    assert np.array_equal(np.asarray(h), np.asarray(expect_h))
+    assert np.array_equal(np.asarray(v), np.asarray(expect_v))
+
+
+def _mk_reads(n=3, L=120, seed=0):
+    rng = np.random.default_rng(seed)
+    lut = np.array(list("ACGT"))
+    return [(f"r{i} ", "".join(rng.choice(lut, L))) for i in range(n)]
+
+
+def test_sketch_cfl_route_selects_fused_pallas_on_tpu(monkeypatch):
+    from fpmash_tpu.models.sketch import Sketch, SketchParams
+    from fpmash_tpu.ops import fused_pallas
+    from fpmash_tpu.ops.lyndon import cfl_lengths_onehot
+    from fpmash_tpu.ops.murmur3 import murmur3_u64_batch
+
+    _mock_tpu(monkeypatch)
+    calls = []
+
+    def fake(batch, lengths, *, seed, pack):
+        calls.append(pack)
+        fl, fc = cfl_lengths_onehot(batch, lengths)
+        h1, _ = murmur3_u64_batch(fl.astype(jnp.uint64), fc, seed=seed)
+        return h1, h1, fc
+
+    monkeypatch.setattr(fused_pallas, "fingerprint_hashes_fused", fake)
+    sk = Sketch(SketchParams().for_fingerprint())
+    sk.init_from_reads_fingerprint(_mk_reads(), factorization="CFL")
+    assert calls and calls[0] == "dna16", (
+        "TPU backend did not select the fused Duval pallas kernel"
+    )
+    assert len(sk.references) == 3
+
+
+def test_sketch_cfl_route_fallback_warns_and_is_correct(monkeypatch, capsys):
+    from fpmash_tpu.models.sketch import Sketch, SketchParams
+    from fpmash_tpu.ops import fused_pallas
+
+    sk0 = Sketch(SketchParams().for_fingerprint())
+    sk0.init_from_reads_fingerprint(_mk_reads(), factorization="CFL")
+
+    _mock_tpu(monkeypatch)
+
+    def broken(batch, lengths, *, seed, pack):
+        raise ValueError("simulated Mosaic regression")
+
+    monkeypatch.setattr(fused_pallas, "fingerprint_hashes_fused", broken)
+    sk = Sketch(SketchParams().for_fingerprint())
+    sk.init_from_reads_fingerprint(_mk_reads(), factorization="CFL")
+    err = capsys.readouterr().err
+    assert "WARNING" in err and "falling back" in err
+    for a, b in zip(sk0.references, sk.references):
+        assert np.array_equal(a.hashes, b.hashes)
+
+
+def test_sketch_icfl_route_selects_fused_pallas_on_tpu(monkeypatch):
+    from fpmash_tpu.models.sketch import Sketch, SketchParams
+    from fpmash_tpu.ops import icfl_pallas
+    from fpmash_tpu.ops.factorize import factor_lengths_device
+    from fpmash_tpu.ops.murmur3 import murmur3_u64_batch
+
+    _mock_tpu(monkeypatch)
+    calls = []
+
+    def fake(batch, lengths, *, family, seed, pack):
+        calls.append(family)
+        fl, fc, ok = factor_lengths_device(batch, lengths, family, True)
+        h1, _ = murmur3_u64_batch(fl.astype(jnp.uint64), fc, seed=seed)
+        return h1, h1, fc, ok
+
+    monkeypatch.setattr(icfl_pallas, "icfl_family_hashes_fused", fake)
+    sk = Sketch(SketchParams().for_fingerprint())
+    sk.init_from_reads_fingerprint(_mk_reads(), factorization="ICFL_COMB")
+    assert calls and set(calls) == {"ICFL_COMB"}, (
+        "TPU backend did not select the fused ICFL pallas pipeline"
+    )
+
+
+def test_compare_route_fallback_warns(monkeypatch, capsys):
+    from fpmash_tpu.ops import compare_pallas
+    from fpmash_tpu.ops.compare import pairwise_common_denom, tile_common_denom
+
+    _mock_tpu(monkeypatch)
+
+    def broken(*a, **kw):
+        raise ValueError("simulated Mosaic regression")
+
+    monkeypatch.setattr(compare_pallas, "pairwise_common_denom_pallas", broken)
+    rng = np.random.default_rng(1)
+    S = 32
+    ref = jnp.asarray(np.sort(rng.integers(0, 1 << 40, (8, S), np.uint64), axis=1))
+    qry = jnp.asarray(np.sort(rng.integers(0, 1 << 40, (8, S), np.uint64), axis=1))
+    rl = jnp.full((8,), S, jnp.int32)
+    c, d = tile_common_denom(ref, rl, qry, rl, sketch_size=S)
+    err = capsys.readouterr().err
+    assert "WARNING" in err and "falling back" in err
+    c2, d2 = pairwise_common_denom(ref, rl, qry, rl, sketch_size=S)
+    assert np.array_equal(np.asarray(c), np.asarray(c2))
+    assert np.array_equal(np.asarray(d), np.asarray(d2))
+
+
+def test_compare_route_selects_pallas_on_tpu(monkeypatch):
+    from fpmash_tpu.ops import compare_pallas
+    from fpmash_tpu.ops.compare import pairwise_common_denom, tile_common_denom
+
+    _mock_tpu(monkeypatch)
+    calls = []
+
+    def fake(ref, rl, qry, ql, *, sketch_size):
+        calls.append(sketch_size)
+        return pairwise_common_denom(ref, rl, qry, ql, sketch_size=sketch_size)
+
+    monkeypatch.setattr(compare_pallas, "pairwise_common_denom_pallas", fake)
+    rng = np.random.default_rng(2)
+    S = 32
+    ref = jnp.asarray(np.sort(rng.integers(0, 1 << 40, (8, S), np.uint64), axis=1))
+    rl = jnp.full((8,), S, jnp.int32)
+    tile_common_denom(ref, rl, ref, rl, sketch_size=S)
+    assert calls == [S], "TPU backend did not select the pallas compare tile"
