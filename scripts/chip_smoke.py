@@ -203,19 +203,71 @@ def main() -> int:
     guard("compare", _compare_case)
 
     def _compare_pallas_case():
+        # 16x16 rows -> grid (2, 2): a NONTRIVIAL grid is load-bearing.
+        # With grid (1, 1) Mosaic folds the BlockSpec index maps away,
+        # which hid the x64 index-map i64 promotion bug ("failed to
+        # legalize 'func.return' (i32, i64)", root-caused 2026-08-21) from
+        # this smoke for a whole round.
         from fpmash_tpu.ops.compare_pallas import pairwise_common_denom_pallas
 
+        ref2 = np.concatenate([ref, ref[::-1]])
+        qry2 = np.concatenate([qry, qry[::-1]])
+        rl2 = np.full(16, S, np.int32)
+        wantp = []
+        for i in range(16):
+            for j in range(16):
+                r = compare_sketches(ref2[i], qry2[j], 0, 0, S, 21, 4.0**21)
+                wantp.append(r.numer * 100000 + r.denom)
         t0 = time.perf_counter()
         cp, dp = jax.device_get(
             pairwise_common_denom_pallas(
-                jnp.asarray(ref), jnp.asarray(rl), jnp.asarray(qry), jnp.asarray(rl),
-                sketch_size=S,
+                jnp.asarray(ref2), jnp.asarray(rl2), jnp.asarray(qry2),
+                jnp.asarray(rl2), sketch_size=S,
             )
         )
-        gotp = [int(cp[i, j]) * 100000 + int(dp[i, j]) for i in range(8) for j in range(8)]
-        check(f"compare-pallas ({time.perf_counter()-t0:.0f}s)", gotp, wantc)
+        gotp = [int(cp[i, j]) * 100000 + int(dp[i, j]) for i in range(16) for j in range(16)]
+        check(f"compare-pallas-grid2x2 ({time.perf_counter()-t0:.0f}s)", gotp, wantp)
 
     guard("compare-pallas", _compare_pallas_case)
+
+    # --- positional fingerprint compare (triangle -fp kernel) ---
+    from fpmash_tpu.ops.compare import pairwise_positional
+
+    def _positional_case():
+        h = rng.integers(0, 1 << 30, size=(16, 64), dtype=np.uint64)
+        lens_p = rng.integers(1, 65, size=16).astype(np.int32)
+        t0 = time.perf_counter()
+        m, nmin = jax.device_get(
+            pairwise_positional(jnp.asarray(h), jnp.asarray(lens_p))
+        )
+        want = []
+        got = []
+        for a in range(16):
+            for b in range(16):
+                n = int(min(lens_p[a], lens_p[b]))
+                want.append(int(np.sum(h[a, :n] == h[b, :n])) * 1000 + n)
+                got.append(int(m[a, b]) * 1000 + int(nmin[a, b]))
+        check(f"positional ({time.perf_counter()-t0:.0f}s)", got, want)
+
+    guard("positional", _positional_case)
+
+    # --- windowed minmer marks (find / -W path) ---
+    def _winnow_case():
+        from fpmash_tpu.ops.winnow import minmer_positions
+
+        hpool = rng.integers(1, 1 << 40, size=5000, dtype=np.uint64)
+        # force duplicates so prev-occurrence logic is exercised
+        hpool[1000:1200] = hpool[0:200]
+        t0 = time.perf_counter()
+        pos_j, h_j = minmer_positions(hpool, 200, 8, backend="jax")
+        pos_s, h_s = minmer_positions(hpool, 200, 8, backend="scalar")
+        check(
+            f"winnow ({time.perf_counter()-t0:.0f}s)",
+            list(pos_j) + list(h_j),
+            list(map(int, pos_s)) + list(map(int, h_s)),
+        )
+
+    guard("winnow", _winnow_case)
 
     print("ALL OK" if not failures else f"FAILED: {failures}", flush=True)
     return 1 if failures else 0

@@ -92,3 +92,66 @@ def test_lower_compare_kernel(S):
         ref,
         rl,
     )
+
+
+def test_lower_compare_kernel_nontrivial_grid():
+    """Grid (2, 2): BlockSpec index maps actually run (grid (1,1) folds
+    them away).  Lowering alone cannot catch the x64 index-map i64
+    promotion (that fails at Mosaic COMPILE time, chip_smoke's job), but
+    this at least exercises the multi-block path end to end."""
+    from fpmash_tpu.ops.compare_pallas import pairwise_common_denom_pallas
+
+    rng = np.random.default_rng(0)
+    S = 128
+    ref = jnp.asarray(
+        np.sort(rng.integers(1, 1 << 30, size=(16, S), dtype=np.uint64), axis=1)
+    )
+    rl = jnp.full((16,), S, jnp.int32)
+    _lower_tpu(
+        lambda a, al, b, bl: pairwise_common_denom_pallas(
+            a, al, b, bl, sketch_size=S
+        ),
+        ref,
+        rl,
+        ref,
+        rl,
+    )
+
+
+def test_lower_winnow_chunk_kernel():
+    from fpmash_tpu.ops.winnow import _make_chunk_jit
+
+    kernel = _make_chunk_jit()
+    rng = np.random.default_rng(0)
+    h = jnp.asarray(rng.integers(1, 1 << 40, size=2048, dtype=np.uint64))
+    prev = jnp.asarray(np.full(2048, -1, np.int64))
+    _lower_tpu(
+        lambda h, p: kernel(h, p, 0, 1985, ws=64, mins=4, C=256), h, prev
+    )
+
+
+def test_lower_positional_compare():
+    from fpmash_tpu.ops.compare import pairwise_positional, positional_matches
+
+    rng = np.random.default_rng(0)
+    h = jnp.asarray(rng.integers(0, 1 << 30, size=(16, 64), dtype=np.uint64))
+    lens = jnp.full((16,), 64, jnp.int32)
+    _lower_tpu(pairwise_positional, h, lens)
+    _lower_tpu(positional_matches, h, lens, h, lens)
+
+
+def test_lower_walk_kernel():
+    from fpmash_tpu.ops.walk import pairwise_walk_common_denom
+
+    rng = np.random.default_rng(0)
+    ref = jnp.asarray(rng.integers(0, 1 << 30, size=(8, 40), dtype=np.uint64))
+    rl = jnp.full((8,), 40, jnp.int32)
+    _lower_tpu(
+        lambda a, al, b, bl: pairwise_walk_common_denom(
+            a, al, b, bl, sketch_size=64
+        ),
+        ref,
+        rl,
+        ref,
+        rl,
+    )
