@@ -103,7 +103,10 @@ def main() -> int:
         except Exception as e:  # pragma: no cover
             extra["compare_error"] = type(e).__name__
         try:
-            extra["classic_kmer_bases_per_s"] = round(_bench_kmer())
+            r_fused, r_hash, r_bk = _bench_kmer()
+            extra["classic_kmer_bases_per_s"] = round(r_fused)
+            extra["kmer_hash_bases_per_s"] = round(r_hash)
+            extra["bottomk_bases_per_s"] = round(r_bk)
         except Exception as e:  # pragma: no cover
             extra["kmer_error"] = type(e).__name__
 
@@ -155,14 +158,20 @@ def _bench_icfl(w, w2, l, B, WINDOW, N):
     return B * N * WINDOW / _chained_best(bench, w, w2, l)
 
 
-def _bench_compare(R: int = 128, Q: int = 128, S: int = 1000, N: int = 8):
-    """Pairwise sketch comparisons/s at the production tile size (BASELINE
-    config 4's kernel).  Chained DEPENDENT dispatches (scan-wrapping this
-    kernel faults on chip; dependencies serialize honestly)."""
+def _bench_compare(R: int = 512, Q: int = 512, S: int = 1000, N: int = 4):
+    """Pairwise sketch comparisons/s (BASELINE config 4's kernel): the
+    Pallas tile kernel over a 512x512 grid (64x64 sequential grid blocks),
+    N dependent iterations chained by a Python loop inside ONE jit.
+
+    A Pallas grid executes serially per core, so one big dispatch is
+    honest timing; the in-jit dependency chain removes the ~25 ms/dispatch
+    relay latency that capped round-2's number at 666k pairs/s.
+    (lax.scan is avoided deliberately: Pallas-under-scan used to trip the
+    Mosaic index-map i64 bug, root-caused + fixed 2026-08-21.)"""
     import jax
     import jax.numpy as jnp
 
-    from fpmash_tpu.ops.compare import pairwise_common_denom
+    from fpmash_tpu.ops.compare_pallas import pairwise_common_denom_pallas
 
     rng = np.random.default_rng(1)
 
@@ -173,29 +182,36 @@ def _bench_compare(R: int = 128, Q: int = 128, S: int = 1000, N: int = 8):
     ref, qry = mk(R), mk(Q)
     rl = jnp.full((R,), S, jnp.int32)
     ql = jnp.full((Q,), S, jnp.int32)
-    f = jax.jit(
-        lambda q, t: pairwise_common_denom(ref, rl, q ^ t, ql, sketch_size=S)[0]
-    )
 
-    def chain():
+    @jax.jit
+    def bench(ref, qry):
         t = jnp.uint64(0)
-        c = None
+        acc = jnp.int32(0)
         for _ in range(N):
-            c = f(qry, t)
+            c, d = pairwise_common_denom_pallas(
+                ref, rl, qry ^ t, ql, sketch_size=S
+            )
             t = (c[0, 0] & 1).astype(jnp.uint64)
-        return c
+            acc = acc + c.sum().astype(jnp.int32)
+        return acc
 
-    return R * Q * N / _chained_best(chain)
+    return R * Q * N / _chained_best(bench, ref, qry)
 
 
 def _bench_kmer(Nseq: int = 1 << 20, k: int = 21, N: int = 8):
-    """Classic k=21 sketch path: window+canonical+murmur (chained scan) and
-    bottom-k (dependent dispatches), combined as a pipeline rate."""
+    """Classic k=21 sketch path, three honest numbers (in-jit dependent
+    Python-loop chains; round 2's harmonic combination of a scan rate and
+    a dispatch-latency-bound bottom-k hid the limiting stage):
+
+    returns (fused_rate, kmer_hash_rate, bottomk_rate) in bases/s, where
+    fused is the production-equivalent hash -> threshold bottom-k pipeline
+    in ONE jit.
+    """
     import jax
     import jax.numpy as jnp
 
     from fpmash_tpu.ops.bottomk import bottom_k_threshold
-    from fpmash_tpu.ops.kmers import kmer_hashes
+    from fpmash_tpu.ops.kmers import _kmer_hashes_acgt
 
     rng = np.random.default_rng(2)
     lut = np.frombuffer(b"ACGT", dtype=np.uint8)
@@ -203,32 +219,51 @@ def _bench_kmer(Nseq: int = 1 << 20, k: int = 21, N: int = 8):
     seq2 = jnp.asarray(lut[rng.integers(0, 4, size=Nseq)])
     length = jnp.int32(Nseq)
     pool = jnp.asarray(rng.integers(1, 1 << 62, size=Nseq, dtype=np.uint64))
+    use_pallas = jax.default_backend() != "cpu"
+
+    def khash(sv):
+        return _kmer_hashes_acgt(
+            sv, length, k=k, noncanonical=False, preserve_case=False,
+            seed=42, pallas=use_pallas,
+        )
 
     @jax.jit
-    def bench_kmer(seq, seq2):
-        def body(carry, _):
-            sv = jnp.where(carry > 0, seq2, seq)
-            h, valid = kmer_hashes(sv, length, k=k, seed=42, use64=True)
-            return (h[0] & jnp.uint64(1)).astype(jnp.int32), h.sum()
-
-        _, sums = jax.lax.scan(body, jnp.int32(0), None, length=N)
-        return sums
-
-    bk = jax.jit(
-        lambda pool, t: bottom_k_threshold(pool ^ t, (pool ^ t) > 0, s=1000)[0]
-    )
-
-    def chain():
-        t = jnp.uint64(0)
-        vals = None
+    def bench_hash(seq, seq2):
+        t = jnp.int32(0)
+        acc = jnp.uint64(0)
         for _ in range(N):
-            vals = bk(pool, t)
-            t = vals[0] & jnp.uint64(1)
-        return vals
+            sv = jnp.where(t > 0, seq2, seq)
+            h, _ = khash(sv)
+            t = (h[0] & jnp.uint64(1)).astype(jnp.int32)
+            acc = acc + h.sum()
+        return acc
 
-    r_kmer = Nseq * N / _chained_best(bench_kmer, seq, seq2)
-    r_bk = Nseq * N / _chained_best(chain)
-    return 1.0 / (1.0 / r_kmer + 1.0 / r_bk)
+    @jax.jit
+    def bench_bk(pool):
+        t = jnp.uint64(0)
+        acc = jnp.uint64(0)
+        for _ in range(N):
+            vals = bottom_k_threshold(pool ^ t, (pool ^ t) > 0, s=1000)[0]
+            t = vals[0] & jnp.uint64(1)
+            acc = acc + vals.sum()
+        return acc
+
+    @jax.jit
+    def bench_fused(seq, seq2):
+        t = jnp.int32(0)
+        acc = jnp.uint64(0)
+        for _ in range(N):
+            sv = jnp.where(t > 0, seq2, seq)
+            h, valid = khash(sv)
+            vals = bottom_k_threshold(h, valid, s=1000)[0]
+            t = (vals[0] & jnp.uint64(1)).astype(jnp.int32)
+            acc = acc + vals.sum()
+        return acc
+
+    r_hash = Nseq * N / _chained_best(bench_hash, seq, seq2)
+    r_bk = Nseq * N / _chained_best(bench_bk, pool)
+    r_fused = Nseq * N / _chained_best(bench_fused, seq, seq2)
+    return r_fused, r_hash, r_bk
 
 
 if __name__ == "__main__":

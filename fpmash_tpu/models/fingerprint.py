@@ -10,9 +10,12 @@ fixed-size chunks factorized independently and joined with ``|``
 
 Where the reference forks a multiprocessing.Pool over read chunks
 (lyn2vec.py:37-82), this implementation builds the whole shift batch as one
-``[n_windows, width]`` u8 array and factorizes it on-device with the batched
-Duval kernel (``fpmash_tpu.ops.lyndon``); factorizations without a batched
-kernel yet (ICFL and COMB variants) run through the scalar models.
+``[n_windows, width]`` u8 array and factorizes it on-device: the batched
+Duval kernel (``fpmash_tpu.ops.lyndon``) for CFL, the ICFL automaton +
+boundary-mask algebra (``ops/icfl.py`` + ``ops/factorize.py``) for every
+other family, with fused Pallas pipelines (``ops/fused_pallas.py``,
+``ops/icfl_pallas.py``) on TPU.  The scalar models remain only as parity
+oracles and for tiny inputs not worth a dispatch.
 
 Output line formats are byte-compatible with the reference:
 ``ID len1 len2 ...`` for fingerprints and ``ID fac1 fac2 ...`` for factor

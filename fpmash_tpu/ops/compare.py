@@ -146,7 +146,7 @@ def _pad_batch(arrays, S=None):
     return out, lens
 
 
-def all_pairs_common_denom(refs, qrys, sketch_size: int, tile: int = 128):
+def all_pairs_common_denom(refs, qrys, sketch_size: int, tile: int | None = None):
     """Host wrapper: lists of sorted hash arrays -> (common, denom) [R, Q].
 
     Tiles the pair grid in ``tile x tile`` blocks so the vmapped kernel's
@@ -161,6 +161,13 @@ def all_pairs_common_denom(refs, qrys, sketch_size: int, tile: int = 128):
     Results are bitwise identical to the single-device run.
     """
     from fpmash_tpu.parallel.sharded import sharded_all_pairs, visible_device_count
+
+    if tile is None:
+        # TPU: big tiles amortize the per-dispatch latency (a tunneled
+        # dispatch costs ~25 ms; a 512x512 Pallas tile is ~80 ms of real
+        # compute).  The Pallas grid keeps VMEM per block constant, so a
+        # larger tile costs only HBM for the [tile, tile] outputs.
+        tile = 128 if jax.default_backend() == "cpu" else 512
 
     S = max(
         max((len(a) for a in refs), default=1),
@@ -206,6 +213,19 @@ def all_pairs_common_denom(refs, qrys, sketch_size: int, tile: int = 128):
 
     common = np.zeros((R, Q), np.int32)
     denom = np.zeros((R, Q), np.int32)
+    # keep a small window of in-flight tiles: tiles are data-independent,
+    # so the device/relay overlaps transfers with compute instead of
+    # paying a host round-trip per tile, while the window bounds on-device
+    # result buffering at large R*Q
+    pending = []
+
+    def _drain(keep: int):
+        while len(pending) > keep:
+            r0, q0, c, d = pending.pop(0)
+            rhi, qhi = min(r0 + rtile, R), min(q0 + qtile, Q)
+            common[r0:rhi, q0:qhi] = np.asarray(c)[: rhi - r0, : qhi - q0]
+            denom[r0:rhi, q0:qhi] = np.asarray(d)[: rhi - r0, : qhi - q0]
+
     for r0 in range(0, Rp, rtile):
         for q0 in range(0, Qp, qtile):
             tiles = (
@@ -218,10 +238,9 @@ def all_pairs_common_denom(refs, qrys, sketch_size: int, tile: int = 128):
                 c, d = sharded_all_pairs(mesh, *tiles, sketch_size)
             else:
                 c, d = tile_common_denom(*tiles, sketch_size=sketch_size)
-            rlo, qlo = r0, q0
-            rhi, qhi = min(r0 + rtile, R), min(q0 + qtile, Q)
-            common[rlo:rhi, qlo:qhi] = np.asarray(c)[: rhi - rlo, : qhi - qlo]
-            denom[rlo:rhi, qlo:qhi] = np.asarray(d)[: rhi - rlo, : qhi - qlo]
+            pending.append((r0, q0, c, d))
+            _drain(8)
+    _drain(0)
     return common, denom
 
 

@@ -142,6 +142,13 @@ def pairwise_common_denom_pallas(
 
     Rb, Qb = R // GR, Q // GQ
     G = GR * GQ
+    # NB: index maps must not return a bare Python 0 — under x64 the
+    # literal promotes to i64 and Mosaic's func.return legalization fails
+    # with "failed to legalize 'func.return' (i32, i64)" for every
+    # nontrivial grid (grid (1,1) folds the maps away, which is how the
+    # bug hid from small-shape smoke tests).  Root-caused 2026-08-21 via
+    # scripts/exp_scanfault*.py; keep constants explicitly int32.
+    Z = np.int32(0)  # NumPy scalar: index maps must not capture tracers
     call = pl.pallas_call(
         partial(_compare_kernel, S2, sketch_size),
         grid=(Rb, Qb),
@@ -150,14 +157,14 @@ def pairwise_common_denom_pallas(
             jax.ShapeDtypeStruct((Rb * Qb * G, 128), jnp.int32),
         ],
         in_specs=[
-            pl.BlockSpec((GR, S2), lambda i, j: (i, 0)),
-            pl.BlockSpec((GR, S2), lambda i, j: (i, 0)),
-            pl.BlockSpec((GQ, S2), lambda i, j: (j, 0)),
-            pl.BlockSpec((GQ, S2), lambda i, j: (j, 0)),
+            pl.BlockSpec((GR, S2), lambda i, j: (i, Z)),
+            pl.BlockSpec((GR, S2), lambda i, j: (i, Z)),
+            pl.BlockSpec((GQ, S2), lambda i, j: (j, Z)),
+            pl.BlockSpec((GQ, S2), lambda i, j: (j, Z)),
         ],
         out_specs=[
-            pl.BlockSpec((G, 128), lambda i, j, Qb=Qb: (i * Qb + j, 0)),
-            pl.BlockSpec((G, 128), lambda i, j, Qb=Qb: (i * Qb + j, 0)),
+            pl.BlockSpec((G, 128), lambda i, j, Qb=Qb: (i * Qb + j, Z)),
+            pl.BlockSpec((G, 128), lambda i, j, Qb=Qb: (i * Qb + j, Z)),
         ],
         interpret=interpret,
     )

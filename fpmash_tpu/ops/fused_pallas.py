@@ -37,7 +37,12 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 
-ROW_BLOCK = 2048  # windows per kernel launch (lanes)
+# windows per kernel launch (lanes).  FPMASH_ROW_BLOCK overrides — the
+# test suite shrinks it so interpret-mode runs don't simulate 2048 lanes
+# for a 30-row case (and so multi-chunk paths are actually exercised).
+import os as _os
+
+ROW_BLOCK = int(_os.environ.get("FPMASH_ROW_BLOCK", "2048"))
 
 # MurmurHash3_x64_128 constants as (lo32, hi32)
 _C1 = (0x114253D5, 0x87C37B91)

@@ -42,7 +42,10 @@ from fpmash_tpu.ops.fused_pallas import (
 )
 
 GROUPS = 8
-ROW_BLOCK = 2048
+# FPMASH_ROW_BLOCK override: see ops/fused_pallas.py
+import os as _os
+
+ROW_BLOCK = int(_os.environ.get("FPMASH_ROW_BLOCK", "2048"))
 
 
 def _mix_k1_pair(kl, kh):

@@ -18,6 +18,10 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
+# shrink the Pallas row block: interpret mode simulates every lane, so the
+# production 2048 would cost ~8x the work for the same coverage — and a
+# small block makes the multi-chunk batch paths actually chunk in tests
+os.environ.setdefault("FPMASH_ROW_BLOCK", "256")
 
 import jax
 

@@ -143,10 +143,13 @@ def test_split_variant_wide_rows(pack):
 
     random.seed(23)
     words = [
-        "".join(random.choice("ACGT") for _ in range(random.randint(120, 300)))
+        "".join(random.choice("ACGT") for _ in range(random.randint(120, 160)))
         for _ in range(48)
     ]
-    words += ["A" * 300, "ACGT" * 75, "T" * 299 + "A"]
+    # >128 exercises the multi-mask-word wide-row path (M=5 words at 160)
+    # without paying interpret-mode cost linear in 300; chip_smoke keeps
+    # the true L=300 case on hardware
+    words += ["A" * 160, "ACGT" * 40, "T" * 159 + "A"]
     arr, lens = encode_batch(words)
     h1, _, fc = jax.device_get(
         fingerprint_hashes_fused(
