@@ -26,6 +26,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 
 from fpmash_tpu.ops.fused_pallas import (
@@ -167,18 +168,31 @@ def canonical_murmur_pallas(
 
     fl, fh = planes(F)
     rl, rh = planes(R)
+    chunks = Np // per
+    # ONE pallas_call with a sequential grid over chunks: the earlier
+    # lax.map of per-chunk launches paid ~tens of µs of launch overhead
+    # per 16k-element chunk, capping the whole hash stage at ~0.3 Gbases/s
+    # on chip.  NB index-map constants must be np.int32 — a bare Python 0
+    # promotes to i64 under x64 and Mosaic fails to legalize the index-map
+    # func.return for any nontrivial grid (root-caused 2026-08-21).
+    Z = np.int32(0)
     call = pl.pallas_call(
         partial(_kernel, k, noncanonical, seed),
-        out_shape=jax.ShapeDtypeStruct((2 * G, ROW_BLOCK), jnp.uint32),
-        in_specs=[pl.BlockSpec((G, ROW_BLOCK), lambda: (0, 0))] * 4,
-        out_specs=pl.BlockSpec((2 * G, ROW_BLOCK), lambda: (0, 0)),
+        grid=(chunks,),
+        out_shape=jax.ShapeDtypeStruct((chunks * 2 * G, ROW_BLOCK), jnp.uint32),
+        in_specs=[
+            pl.BlockSpec((G, ROW_BLOCK), lambda i: (i, Z)),
+        ]
+        * 4,
+        out_specs=pl.BlockSpec((2 * G, ROW_BLOCK), lambda i: (i, Z)),
         interpret=interpret,
     )
-    chunks = Np // per
-    if chunks == 1:
-        out = call(fl[0], fh[0], rl[0], rh[0])[None]
-    else:
-        out = jax.lax.map(lambda a: call(*a), (fl, fh, rl, rh))  # [C, 2G, RB]
+    out = call(
+        fl.reshape(chunks * G, ROW_BLOCK),
+        fh.reshape(chunks * G, ROW_BLOCK),
+        rl.reshape(chunks * G, ROW_BLOCK),
+        rh.reshape(chunks * G, ROW_BLOCK),
+    ).reshape(chunks, 2 * G, ROW_BLOCK)
     h1l = out[:, :G, :].reshape(Np)[:N]
     h1h = out[:, G:, :].reshape(Np)[:N]
     return h1l.astype(jnp.uint64) | (h1h.astype(jnp.uint64) << jnp.uint64(32))
