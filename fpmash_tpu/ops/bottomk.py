@@ -109,21 +109,29 @@ def bottom_k_threshold(
         _U64MAX,
         (frac * float(2**64)).astype(jnp.uint64),
     )
-    mask = x <= t
+    mask = (x <= t) & (x != _U64MAX)
     m = jnp.sum(mask.astype(jnp.int64))
 
     # segmented compaction — NO pool-sized nonzero/gather (a 4M-element
     # scatter dominated the whole kernel on chip): view the pool as
-    # [C, 1024] rows, sort each row with non-candidates pushed to U64MAX,
+    # [C, cols] rows, sort each row with non-candidates pushed to U64MAX,
     # and keep a fixed per-row prefix.  Candidates overflow a row's prefix
     # with vanishing probability (ok=False covers it).
+    #
+    # The row sort uses ONE u32 key (the hi plane) with the lo plane as
+    # payload: prefix membership only needs candidates-before-padding,
+    # not full u64 order — the final candidate sort re-orders exactly.
+    # Safety: a candidate with hi == 0xFFFFFFFF could tie with padding
+    # and be displaced past the prefix (possible only when the threshold
+    # saturates); ``prefix_count == m`` below detects any displacement
+    # exactly and flips ok=False.
     cols = 1024 if N % 1024 == 0 else 1
     C = N // cols
     P = min(cols, max(16, -(-32 * s // max(C, 1))))
     y = jnp.where(mask, x, _U64MAX).reshape(C, cols)
     yhi = (y >> jnp.uint64(32)).astype(jnp.uint32)
     ylo = (y & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
-    yhi, ylo = jax.lax.sort((yhi, ylo), num_keys=2)
+    yhi, ylo = jax.lax.sort((yhi, ylo), num_keys=1)
     row_counts = jnp.sum(mask.reshape(C, cols).astype(jnp.int32), axis=1)
     row_overflow = jnp.max(row_counts) > P
     cand = (
@@ -131,6 +139,8 @@ def bottom_k_threshold(
         | ylo[:, :P].astype(jnp.uint64)
     ).reshape(C * P)
     cap = C * P
+    prefix_count = jnp.sum(((cand <= t) & (cand != _U64MAX)).astype(jnp.int64))
+    compaction_ok = ~row_overflow & (prefix_count == m)
 
     # run-length over the sorted candidates (same math as bottom_k_distinct)
     hi = (cand >> jnp.uint64(32)).astype(jnp.uint32)
@@ -155,7 +165,7 @@ def bottom_k_threshold(
     n = jnp.sum(~opad).astype(jnp.uint32)
 
     all_taken = m >= n_valid  # threshold saturated: candidates = whole pool
-    ok = ~row_overflow & ((n_eligible >= s) | all_taken)
+    ok = compaction_ok & ((n_eligible >= s) | all_taken)
     return values, counts, n, ok
 
 

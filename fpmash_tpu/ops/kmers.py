@@ -94,6 +94,20 @@ def _kmer_hashes_acgt(
     code = jnp.full(seq.shape, 4, jnp.uint32)
     for v, ch in enumerate(b"ACGT"):
         code = jnp.where(seq == jnp.uint8(ch), jnp.uint32(v), code)
+
+    if pallas:
+        # fully fused VMEM pipeline: ladder + canonical + murmur in one
+        # sequential-grid kernel (ops/kmers_pallas.py).  The XLA ladder
+        # below materializes ~27 rolled [N] u64 temporaries through HBM,
+        # which capped the hash stage at ~0.3 Gbases/s on chip.
+        from fpmash_tpu.ops.kmers_pallas import kmer_hashes_fused_pallas
+
+        h1, vw = kmer_hashes_fused_pallas(
+            code, k=k, noncanonical=noncanonical, seed=seed
+        )
+        pos = jnp.arange(N, dtype=jnp.int32)
+        return h1, vw & (pos <= length - k)
+
     valid_char = code < 4
     c64 = jnp.minimum(code, 3).astype(jnp.uint64)
 
@@ -131,16 +145,6 @@ def _kmer_hashes_acgt(
     R = G
     pos = jnp.arange(N, dtype=jnp.int32)
     valid = valid & (pos <= length - k)
-
-    if pallas:
-        # canonical pick + byte rebuild + murmur fused in VMEM on u32
-        # pairs (ops/kmers_pallas.py); the XLA ladder above feeds it
-        from fpmash_tpu.ops.kmers_pallas import canonical_murmur_pallas
-
-        h1 = canonical_murmur_pallas(
-            F, R, k=k, noncanonical=noncanonical, seed=seed
-        )
-        return h1, valid
 
     P = F if noncanonical else jnp.minimum(F, R)
 

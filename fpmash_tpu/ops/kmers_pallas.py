@@ -75,12 +75,13 @@ def _block_update_pair(h1l, h1h, h2l, h2h, k1l, k1h, k2l, k2h):
     return h1l, h1h, h2l, h2h
 
 
-def _kernel(k: int, noncanonical: bool, seed: int, fl_ref, fh_ref, rl_ref, rh_ref, out_ref):
-    fl, fh = fl_ref[:], fh_ref[:]
+def _canonical_murmur_body(k: int, noncanonical: bool, seed: int, fl, fh, rl, rh):
+    """Canonical min + ASCII rebuild + murmur chain on u32-pair planes;
+    returns ``(h1l, h1h)``.  Shared by the tail kernel (pre-packed F/R
+    inputs) and the fused kernel (in-VMEM ladder)."""
     if noncanonical:
         pl_, ph_ = fl, fh
     else:
-        rl, rh = rl_ref[:], rh_ref[:]
         take_r = (rh < fh) | ((rh == fh) & (rl < fl))
         pl_ = jnp.where(take_r, rl, fl)
         ph_ = jnp.where(take_r, rh, fh)
@@ -135,7 +136,16 @@ def _kernel(k: int, noncanonical: bool, seed: int, fl_ref, fh_ref, rl_ref, rh_re
     h2l, h2h = _fmix64(h2l, h2h)
     h1l, h1h = _add64(h1l, h1h, h2l, h2h)
     h2l, h2h = _add64(h2l, h2h, h1l, h1h)
+    return h1l, h1h
 
+
+def _kernel(k: int, noncanonical: bool, seed: int, fl_ref, fh_ref, rl_ref, rh_ref, out_ref):
+    fl, fh = fl_ref[:], fh_ref[:]
+    if noncanonical:
+        rl = rh = fl  # unused
+    else:
+        rl, rh = rl_ref[:], rh_ref[:]
+    h1l, h1h = _canonical_murmur_body(k, noncanonical, seed, fl, fh, rl, rh)
     G = GROUPS
     out_ref[0 * G : 1 * G, :] = h1l
     out_ref[1 * G : 2 * G, :] = h1h
@@ -196,3 +206,133 @@ def canonical_murmur_pallas(
     h1l = out[:, :G, :].reshape(Np)[:N]
     h1h = out[:, G:, :].reshape(Np)[:N]
     return h1l.astype(jnp.uint64) | (h1h.astype(jnp.uint64) << jnp.uint64(32))
+
+
+HALO = 128  # lanes of lookahead per row (>= k-1 for k <= 32; lane-tile aligned)
+
+
+def _shl_pair(lo, hi, s: int):
+    """(lo, hi) u32 pair << s  (0 <= s < 64, static)."""
+    if s == 0:
+        return lo, hi
+    if s == 32:
+        return jnp.zeros_like(lo), lo
+    if s > 32:
+        return jnp.zeros_like(lo), lo << _u32(s - 32)
+    return lo << _u32(s), (hi << _u32(s)) | (lo >> _u32(32 - s))
+
+
+def _fused_kernel(k: int, noncanonical: bool, seed: int, code_ref, out_ref):
+    """codes [G, ROW_BLOCK+HALO] -> (h1lo, h1hi, valid) [3G, ROW_BLOCK].
+
+    The ENTIRE classic k-mer pipeline in VMEM: the doubling ladder that
+    packs each k-window into big-endian 2-bit codes (formerly ~27
+    HBM-materialized roll temporaries in XLA — the 0.3 Gbases/s limiter),
+    the reverse-complement packing, canonical min, ASCII rebuild and the
+    murmur chain.  Lanes are consecutive sequence positions; each row
+    carries HALO lookahead lanes (the first HALO positions of the next
+    row) so windows never cross a block boundary; ladder rolls are
+    circular, and the wraparound garbage front advances at most k-1 < HALO
+    lanes from the row end, never reaching the ROW_BLOCK output lanes.
+
+    Reference semantics: addMinHashes window scan + canonical pick
+    (Sketch.cpp:664-735) + MurmurHash3_x64_128 (MurmurHash3.cpp), as in
+    ops/kmers._kmer_hashes_acgt whose XLA ladder this mirrors (pair
+    arithmetic instead of u64).
+    """
+    code = code_ref[:]
+    vchar = code < _u32(4)
+    c = code & _u32(3)
+
+    def roll1(x, m):
+        return jnp.roll(x, -m, axis=1)
+
+    # ladder: F_m big-endian packed codes, G_m little-endian complements,
+    # V_m all-valid — as u32 pairs (F fits 2k <= 64 bits)
+    zeros = jnp.zeros_like(c)
+    ladder = []
+    Flo, Fhi = c, zeros
+    Glo, Ghi = c ^ _u32(3), zeros
+    Vm = vchar
+    m = 1
+    while True:
+        ladder.append((m, Flo, Fhi, Glo, Ghi, Vm))
+        if m * 2 > k:
+            break
+        sl, sh = _shl_pair(Flo, Fhi, 2 * m)
+        Flo = sl | roll1(Flo, m)
+        Fhi = sh | roll1(Fhi, m)
+        rl_, rh_ = _shl_pair(roll1(Glo, m), roll1(Ghi, m), 2 * m)
+        Glo = Glo | rl_
+        Ghi = Ghi | rh_
+        Vm = Vm & roll1(Vm, m)
+        m *= 2
+
+    Flo = Fhi = Glo = Ghi = None
+    flo, fhi = zeros, zeros
+    glo, ghi = zeros, zeros
+    valid = jnp.ones_like(vchar)
+    built = 0
+    for m, Fl, Fh, Gl, Gh, Vv in reversed(ladder):
+        if built + m <= k:
+            if built:
+                Fl, Fh = roll1(Fl, built), roll1(Fh, built)
+                Gl, Gh = roll1(Gl, built), roll1(Gh, built)
+                Vv = roll1(Vv, built)
+            sl, sh = _shl_pair(flo, fhi, 2 * m)
+            flo, fhi = sl | Fl, sh | Fh
+            pl2, ph2 = _shl_pair(Gl, Gh, 2 * built)
+            glo, ghi = glo | pl2, ghi | ph2
+            valid = valid & Vv
+            built += m
+    assert built == k
+
+    h1l, h1h = _canonical_murmur_body(k, noncanonical, seed, flo, fhi, glo, ghi)
+
+    G = GROUPS
+    RB = ROW_BLOCK
+    out_ref[0 * G : 1 * G, :] = h1l[:, :RB]
+    out_ref[1 * G : 2 * G, :] = h1h[:, :RB]
+    out_ref[2 * G : 3 * G, :] = valid[:, :RB].astype(jnp.uint32)
+
+
+@partial(jax.jit, static_argnames=("k", "noncanonical", "seed", "interpret"))
+def kmer_hashes_fused_pallas(
+    codes: jax.Array,  # u32[N] 2-bit codes, 4 = invalid character
+    *,
+    k: int,
+    noncanonical: bool = False,
+    seed: int = 42,
+    interpret: bool = False,
+):
+    """(h1 u64[N], window_valid bool[N]) — fully fused classic pipeline.
+
+    ``window_valid`` covers character validity of the whole window only;
+    the caller must additionally mask positions past ``length - k``.
+    """
+    N = codes.shape[0]
+    G = GROUPS
+    RB = ROW_BLOCK
+    per = G * RB
+    Np = -(-N // per) * per
+    rows = jnp.full((Np,), jnp.uint32(4)).at[:N].set(codes.astype(jnp.uint32))
+    rows = rows.reshape(-1, RB)  # [C*G, RB]
+    halo = jnp.roll(rows, -1, axis=0)[:, :HALO]
+    inp = jnp.concatenate([rows, halo], axis=1)  # [C*G, RB+HALO]
+    chunks = Np // per
+
+    Z = np.int32(0)  # index maps: np.int32, never a bare 0 (Mosaic x64 trap)
+    call = pl.pallas_call(
+        partial(_fused_kernel, k, noncanonical, seed),
+        grid=(chunks,),
+        out_shape=jax.ShapeDtypeStruct((chunks * 3 * G, RB), jnp.uint32),
+        in_specs=[pl.BlockSpec((G, RB + HALO), lambda i: (i, Z))],
+        out_specs=pl.BlockSpec((3 * G, RB), lambda i: (i, Z)),
+        interpret=interpret,
+    )
+    out = call(inp).reshape(chunks, 3 * G, RB)
+    h1l = out[:, :G, :].reshape(Np)[:N]
+    h1h = out[:, G : 2 * G, :].reshape(Np)[:N]
+    v = out[:, 2 * G :, :].reshape(Np)[:N]
+    h1 = h1l.astype(jnp.uint64) | (h1h.astype(jnp.uint64) << jnp.uint64(32))
+    return h1, v != 0

@@ -26,6 +26,11 @@ os.environ.setdefault("FPMASH_ROW_BLOCK", "256")
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# Tests are XLA-CPU compile-dominated (every factorization family traces
+# its own kernels); skipping most optimization passes roughly halves the
+# suite wall clock.  Semantics-preserving: all kernels are integer/exact,
+# and the golden-parity assertions would catch any deviation.
+jax.config.update("jax_disable_most_optimizations", True)
 
 import pathlib
 

@@ -39,11 +39,11 @@ def test_kmer_route_selects_pallas_on_tpu(monkeypatch):
     _mock_tpu(monkeypatch)
     calls = []
 
-    def fake(F, R, *, k, noncanonical, seed):
+    def fake(codes, *, k, noncanonical, seed):
         calls.append(k)
-        return jnp.zeros(F.shape, jnp.uint64)
+        return jnp.zeros(codes.shape, jnp.uint64), jnp.ones(codes.shape, bool)
 
-    monkeypatch.setattr(kmers_pallas, "canonical_murmur_pallas", fake)
+    monkeypatch.setattr(kmers_pallas, "kmer_hashes_fused_pallas", fake)
     seq = jnp.asarray(encode_seq("ACGT" * 64))
     kmer_hashes(seq, jnp.int32(256), k=21, seed=42)
     assert calls == [21], "TPU backend did not select the pallas kmer tail"
@@ -59,10 +59,10 @@ def test_kmer_route_fallback_warns_and_is_correct(monkeypatch, capsys):
 
     _mock_tpu(monkeypatch)
 
-    def broken(F, R, *, k, noncanonical, seed):
+    def broken(codes, *, k, noncanonical, seed):
         raise ValueError("simulated Mosaic regression")
 
-    monkeypatch.setattr(kmers_pallas, "canonical_murmur_pallas", broken)
+    monkeypatch.setattr(kmers_pallas, "kmer_hashes_fused_pallas", broken)
     h, v = kmer_hashes(seq, ln, k=21, seed=42)
     err = capsys.readouterr().err
     assert "WARNING" in err and "falling back" in err
