@@ -44,6 +44,32 @@ import os as _os
 
 ROW_BLOCK = int(_os.environ.get("FPMASH_ROW_BLOCK", "2048"))
 
+
+def _grid_chunk_call(kernel, ins, in_rows, out_rows, interpret):
+    """Run ``kernel`` over chunked slab inputs on a sequential pallas grid.
+
+    ``ins`` are ``[C, rows_i, ROW_BLOCK]`` u32 slabs; returns
+    ``[C, out_rows, ROW_BLOCK]`` u32.  One launch total — per-chunk
+    lax.map dispatch overhead was measurable at production batch sizes.
+    Index-map constants are np.int32 (bare Python 0 promotes to i64 under
+    x64 and Mosaic fails to legalize the map for any nontrivial grid).
+    """
+    C = ins[0].shape[0]
+    RB = ins[0].shape[2]
+    Z = np.int32(0)
+    call = pl.pallas_call(
+        kernel,
+        grid=(C,),
+        out_shape=jax.ShapeDtypeStruct((C * out_rows, RB), jnp.uint32),
+        in_specs=[
+            pl.BlockSpec((r, RB), lambda i: (i, Z)) for r in in_rows
+        ],
+        out_specs=pl.BlockSpec((out_rows, RB), lambda i: (i, Z)),
+        interpret=interpret,
+    )
+    out = call(*[a.reshape(C * r, RB) for a, r in zip(ins, in_rows)])
+    return out.reshape(C, out_rows, RB)
+
 # MurmurHash3_x64_128 constants as (lo32, hi32)
 _C1 = (0x114253D5, 0x87C37B91)
 _C2 = (0x2745937F, 0x4CF5AD43)
@@ -559,10 +585,12 @@ def fingerprint_hashes_fused(
     unroll = 8
     max_steps = ((max_steps + unroll - 1) // unroll) * unroll
 
-    # NOTE: gridless calls mapped over row chunks. Putting the row blocks
-    # on a pallas grid instead trips a Mosaic legalization bug ("failed to
-    # legalize operation 'func.return'") when the kernel body is a
-    # while_loop; a gridless kernel with identical body compiles fine.
+    # Row chunks ride a SEQUENTIAL pallas grid (one launch for the whole
+    # batch).  Round 2 blamed a "failed to legalize 'func.return'" Mosaic
+    # error on grid+while_loop and fell back to gridless lax.map chunking
+    # (per-chunk launch overhead); the actual culprit was the bare-0
+    # index-map i64 promotion under x64, root-caused 2026-08-21 — grids
+    # with np.int32 index-map constants compile and validate on chip.
     if variant == "split":
         # sublane-grouped layout: GROUPS windows per lane column; slab row
         # w*G+s holds word w of window (s, r); window index = c*G*R + s*R + r
@@ -578,20 +606,13 @@ def fingerprint_hashes_fused(
             .reshape(chunks, W * G, ROW_BLOCK)
         )
         nc = nflat.reshape(chunks, G, ROW_BLOCK)
-        call = pl.pallas_call(
+        out = _grid_chunk_call(
             partial(_split_kernel, seed, max_steps, unroll, cpw_log2, bits_log2, W),
-            out_shape=jax.ShapeDtypeStruct((5 * G, ROW_BLOCK), jnp.uint32),
-            in_specs=[
-                pl.BlockSpec((W * G, ROW_BLOCK), lambda: (0, 0)),
-                pl.BlockSpec((G, ROW_BLOCK), lambda: (0, 0)),
-            ],
-            out_specs=pl.BlockSpec((5 * G, ROW_BLOCK), lambda: (0, 0)),
-            interpret=interpret,
-        )
-        if chunks == 1:
-            out = call(wc[0], nc[0])[None]
-        else:
-            out = jax.lax.map(lambda args: call(*args), (wc, nc))  # [C, 5G, R]
+            (wc, nc),
+            (W * G, G),
+            5 * G,
+            interpret,
+        )  # [C, 5G, R]
         comp = [out[:, i * G : (i + 1) * G, :].reshape(Bp) for i in range(5)]
         h1 = comp[0][:B].astype(jnp.uint64) | (
             comp[1][:B].astype(jnp.uint64) << jnp.uint64(32)
@@ -604,24 +625,17 @@ def fingerprint_hashes_fused(
     Bp = ((B + ROW_BLOCK - 1) // ROW_BLOCK) * ROW_BLOCK
     n = jnp.zeros((1, Bp), jnp.int32).at[0, :B].set(lengths.astype(jnp.int32))
     sT = jnp.zeros((W, Bp), jnp.uint32).at[:, :B].set(words.T)
-    call = pl.pallas_call(
-        partial(_fused_kernel, seed, max_steps, unroll, cpw_log2, bits_log2),
-        out_shape=jax.ShapeDtypeStruct((8, ROW_BLOCK), jnp.uint32),
-        in_specs=[
-            pl.BlockSpec((W, ROW_BLOCK), lambda: (0, 0)),
-            pl.BlockSpec((1, ROW_BLOCK), lambda: (0, 0)),
-        ],
-        out_specs=pl.BlockSpec((8, ROW_BLOCK), lambda: (0, 0)),
-        interpret=interpret,
-    )
     chunks = Bp // ROW_BLOCK
     sT_c = sT.reshape(W, chunks, ROW_BLOCK).transpose(1, 0, 2)  # [C, W, R]
     n_c = n.reshape(1, chunks, ROW_BLOCK).transpose(1, 0, 2)  # [C, 1, R]
-    if chunks == 1:
-        out = call(sT_c[0], n_c[0])
-    else:
-        out = jax.lax.map(lambda args: call(*args), (sT_c, n_c))
-        out = out.transpose(1, 0, 2).reshape(8, Bp)
+    out = _grid_chunk_call(
+        partial(_fused_kernel, seed, max_steps, unroll, cpw_log2, bits_log2),
+        (sT_c, n_c),
+        (W, 1),
+        8,
+        interpret,
+    )
+    out = out.transpose(1, 0, 2).reshape(8, Bp)
     h1 = out[0, :B].astype(jnp.uint64) | (out[1, :B].astype(jnp.uint64) << jnp.uint64(32))
     h2 = out[2, :B].astype(jnp.uint64) | (out[3, :B].astype(jnp.uint64) << jnp.uint64(32))
     fac_count = out[4, :B].astype(jnp.int32)

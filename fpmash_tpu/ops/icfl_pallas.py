@@ -49,6 +49,7 @@ from jax.experimental import pallas as pl
 from fpmash_tpu.ops.fused_pallas import (
     GROUPS,
     ROW_BLOCK,
+    _grid_chunk_call,
     _add64,
     _block_update,
     _ctz32,
@@ -433,20 +434,13 @@ def icfl_words_fused(
     SW = -(-L // 4)
     unroll = 8
     max_steps = ((4 * L + 16 + unroll - 1) // unroll) * unroll
-    call = pl.pallas_call(
+    out = _grid_chunk_call(
         partial(_icfl_words_kernel, max_steps, unroll, cpw_log2, bits_log2, W, SW, L),
-        out_shape=jax.ShapeDtypeStruct((5 * GROUPS, ROW_BLOCK), jnp.uint32),
-        in_specs=[
-            pl.BlockSpec((W * GROUPS, ROW_BLOCK), lambda: (0, 0)),
-            pl.BlockSpec((GROUPS, ROW_BLOCK), lambda: (0, 0)),
-        ],
-        out_specs=pl.BlockSpec((5 * GROUPS, ROW_BLOCK), lambda: (0, 0)),
-        interpret=interpret,
+        (wc, nc),
+        (W * GROUPS, GROUPS),
+        5 * GROUPS,
+        interpret,
     )
-    if wc.shape[0] == 1:
-        out = call(wc[0], nc[0])[None]
-    else:
-        out = jax.lax.map(lambda args: call(*args), (wc, nc))
     words = jnp.stack([_unslab(out, i, 5, Bp)[:B] for i in range(4)], axis=1)
     ok = _unslab(out, 4, 5, Bp)[:B] > 0
     return words, ok
@@ -475,20 +469,13 @@ def hash_from_words_fused(
         .reshape(chunks, 4 * G, ROW_BLOCK)
     )
     nc = nflat.reshape(chunks, G, ROW_BLOCK)
-    call = pl.pallas_call(
+    out = _grid_chunk_call(
         partial(_hash_words_kernel, seed, L),
-        out_shape=jax.ShapeDtypeStruct((5 * G, ROW_BLOCK), jnp.uint32),
-        in_specs=[
-            pl.BlockSpec((4 * G, ROW_BLOCK), lambda: (0, 0)),
-            pl.BlockSpec((G, ROW_BLOCK), lambda: (0, 0)),
-        ],
-        out_specs=pl.BlockSpec((5 * G, ROW_BLOCK), lambda: (0, 0)),
-        interpret=interpret,
+        (wc, nc),
+        (4 * G, G),
+        5 * G,
+        interpret,
     )
-    if wc.shape[0] == 1:
-        out = call(wc[0], nc[0])[None]
-    else:
-        out = jax.lax.map(lambda args: call(*args), (wc, nc))
     h1 = _unslab(out, 0, 5, Bp)[:B].astype(jnp.uint64) | (
         _unslab(out, 1, 5, Bp)[:B].astype(jnp.uint64) << jnp.uint64(32)
     )

@@ -84,6 +84,35 @@ def pairwise_walk_common_denom(
     return common.reshape(R, Q), denom.reshape(R, Q)
 
 
+def tile_walk_common_denom(ref, ref_len, qry, qry_len, *, sketch_size: int):
+    """One-tile dispatcher: Pallas shift-register kernel on TPU (row dims
+    must be multiples of 8), the XLA lockstep-gather walk elsewhere.
+    ``FPMASH_NO_WALK_PALLAS=1`` forces the XLA formulation."""
+    import os
+
+    R, Q = ref.shape[0], qry.shape[0]
+    if (
+        jax.default_backend() != "cpu"
+        and R % 8 == 0
+        and Q % 8 == 0
+        and not os.environ.get("FPMASH_NO_WALK_PALLAS")
+    ):
+        try:
+            from fpmash_tpu.ops.walk_pallas import pairwise_walk_pallas
+
+            return pairwise_walk_pallas(
+                ref, ref_len, qry, qry_len, sketch_size=sketch_size
+            )
+        except Exception as e:  # pragma: no cover - Mosaic regression
+            from fpmash_tpu.utils.trace import warn
+
+            warn(f"walk: pallas kernel unavailable ({type(e).__name__}), "
+                 "falling back to the XLA gather walk (slower)")
+    return pairwise_walk_common_denom(
+        ref, ref_len, qry, qry_len, sketch_size=sketch_size
+    )
+
+
 def _pad_batch(arrays, S=None):
     n = len(arrays)
     S = S or max((len(a) for a in arrays), default=1)
@@ -114,17 +143,29 @@ def all_pairs_walk(refs, qrys, sketch_size: int, tile: int = 256):
 
     D = visible_device_count()
     if D <= 1 and R <= tile and Q <= tile:
-        c, d = pairwise_walk_common_denom(
-            jnp.asarray(ref),
-            jnp.asarray(ref_len),
-            jnp.asarray(qry),
-            jnp.asarray(qry_len),
+        # pad rows to multiples of 8 (zero-length lists) so the Pallas
+        # tile kernel is eligible; sliced back below
+        R8 = -(-R // 8) * 8
+        Q8 = -(-Q // 8) * 8
+        refp = np.zeros((R8, ref.shape[1]), np.uint64)
+        refp[:R] = ref
+        reflp = np.zeros(R8, np.int32)
+        reflp[:R] = ref_len
+        qryp = np.zeros((Q8, qry.shape[1]), np.uint64)
+        qryp[:Q] = qry
+        qrylp = np.zeros(Q8, np.int32)
+        qrylp[:Q] = qry_len
+        c, d = tile_walk_common_denom(
+            jnp.asarray(refp),
+            jnp.asarray(reflp),
+            jnp.asarray(qryp),
+            jnp.asarray(qrylp),
             sketch_size=sketch_size,
         )
-        return np.asarray(c), np.asarray(d)
+        return np.asarray(c)[:R, :Q], np.asarray(d)[:R, :Q]
 
-    rtile = min(tile, R)
-    qd = min(tile, -(-Q // D)) if D > 1 else min(tile, Q)
+    rtile = min(tile, -(-R // 8) * 8)
+    qd = min(tile, -(-(-(-Q // D)) // 8) * 8) if D > 1 else min(tile, -(-Q // 8) * 8)
     qtile = qd * D if D > 1 else qd
     Rp = -(-R // rtile) * rtile
     Qp = -(-Q // qtile) * qtile
@@ -156,7 +197,7 @@ def all_pairs_walk(refs, qrys, sketch_size: int, tile: int = 256):
             if mesh is not None:
                 c, d = sharded_all_pairs_walk(mesh, *tiles, sketch_size)
             else:
-                c, d = pairwise_walk_common_denom(*tiles, sketch_size=sketch_size)
+                c, d = tile_walk_common_denom(*tiles, sketch_size=sketch_size)
             rhi, qhi = min(r0 + rtile, R), min(q0 + qtile, Q)
             common[r0:rhi, q0:qhi] = np.asarray(c)[: rhi - r0, : qhi - q0]
             denom[r0:rhi, q0:qhi] = np.asarray(d)[: rhi - r0, : qhi - q0]

@@ -183,10 +183,10 @@ def sharded_all_pairs(mesh: Mesh, ref, ref_len, qry, qry_len, sketch_size: int):
 
 @lru_cache(maxsize=None)
 def _sharded_all_pairs_walk_fn(mesh: Mesh, sketch_size: int):
-    from fpmash_tpu.ops.walk import pairwise_walk_common_denom
+    from fpmash_tpu.ops.walk import tile_walk_common_denom
 
     def shard_fn(r, rl, q, ql):
-        return pairwise_walk_common_denom(r, rl, q, ql, sketch_size=sketch_size)
+        return tile_walk_common_denom(r, rl, q, ql, sketch_size=sketch_size)
 
     return jax.jit(
         shard_map(

@@ -251,6 +251,37 @@ def main() -> int:
 
     guard("positional", _positional_case)
 
+    # --- unsorted-walk Pallas kernel (dist -fp path), grid (2, 2) ---
+    def _walk_pallas_case():
+        from fpmash_tpu.ops.walk_pallas import pairwise_walk_pallas
+
+        wrng = np.random.default_rng(3)
+        Rw = Qw = 16
+        Lw = 40
+        wref = wrng.integers(0, 60, size=(Rw, Lw)).astype(np.uint64)
+        wqry = wrng.integers(0, 60, size=(Qw, Lw)).astype(np.uint64)
+        wrl = wrng.integers(1, Lw + 1, size=Rw).astype(np.int32)
+        wql = wrng.integers(1, Lw + 1, size=Qw).astype(np.int32)
+        t0 = time.perf_counter()
+        c, d = jax.device_get(
+            pairwise_walk_pallas(
+                jnp.asarray(wref), jnp.asarray(wrl), jnp.asarray(wqry),
+                jnp.asarray(wql), sketch_size=50,
+            )
+        )
+        want = []
+        got = []
+        for i in range(Rw):
+            for jj in range(Qw):
+                r = compare_sketches(
+                    wref[i, : wrl[i]], wqry[jj, : wql[jj]], 0, 0, 50, 21, 4.0**21
+                )
+                want.append(r.numer * 100000 + r.denom)
+                got.append(int(c[i, jj]) * 100000 + int(d[i, jj]))
+        check(f"walk-pallas-grid2x2 ({time.perf_counter()-t0:.0f}s)", got, want)
+
+    guard("walk-pallas", _walk_pallas_case)
+
     # --- windowed minmer marks (find / -W path) ---
     def _winnow_case():
         from fpmash_tpu.ops.winnow import minmer_positions

@@ -32,6 +32,7 @@ def main() -> int:
     ITERS = int(sys.argv[3]) if len(sys.argv) > 3 else 8
     s = 1000
 
+    import fpmash_tpu  # noqa: F401  (enables x64 — uint64 lanes need it)
     import jax
     import jax.numpy as jnp
 
@@ -109,6 +110,30 @@ def main() -> int:
             cand = jnp.stack(vals, axis=1).reshape(R * P)
             return finish(cand, R * P)[0]
 
+    elif mode == "mask_only":
+
+        def one(x):
+            mask = threshold_mask(x, float(N))
+            y = jnp.where(mask, x, _U64MAX)
+            return y[:1024] | jnp.uint64(jnp.sum(mask.astype(jnp.int32)))
+
+    elif mode == "rowsort_only":
+
+        def one(x):
+            mask = threshold_mask(x, float(N))
+            y = jnp.where(mask, x, _U64MAX).reshape(N // 1024, 1024)
+            yhi = (y >> jnp.uint64(32)).astype(jnp.uint32)
+            ylo = (y & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+            yhi, ylo = jax.lax.sort((yhi, ylo), num_keys=1)
+            return (yhi[:, 0].astype(jnp.uint64) << jnp.uint64(32)) | ylo[:, 0]
+
+    elif mode == "finish_only":
+
+        def one(x):
+            # candidate set materialized cheaply (no sort): first 32k
+            cand = x[: 32 * 1024]
+            return finish(cand, 32 * 1024)[0]
+
     else:
         raise SystemExit(f"unknown mode {mode}")
 
@@ -140,3 +165,7 @@ def main() -> int:
 
 if __name__ == "__main__":
     sys.exit(main())
+
+# --- appended micro-modes (rowsort_only / finish_only / mask_only) ---
+# Usage identical; each times ONE sub-stage of bottom_k_threshold to find
+# where the ~7 ms per 1M pool actually goes.

@@ -155,3 +155,20 @@ def test_lower_walk_kernel():
         ref,
         rl,
     )
+
+
+def test_lower_walk_pallas_kernel():
+    from fpmash_tpu.ops.walk_pallas import pairwise_walk_pallas
+
+    rng = np.random.default_rng(0)
+    ref = jnp.asarray(rng.integers(0, 1 << 30, size=(16, 40), dtype=np.uint64))
+    rl = jnp.full((16,), 40, jnp.int32)
+    _lower_tpu(
+        lambda a, al, b, bl: pairwise_walk_pallas(
+            a, al, b, bl, sketch_size=64
+        ),
+        ref,
+        rl,
+        ref,
+        rl,
+    )
