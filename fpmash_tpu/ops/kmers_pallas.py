@@ -241,7 +241,10 @@ def _fused_kernel(k: int, noncanonical: bool, seed: int, code_ref, out_ref):
     arithmetic instead of u64).
     """
     code = code_ref[:]
-    vchar = code < _u32(4)
+    # validity as i32 0/1, NOT bool: Mosaic cannot roll i1 vregs
+    # ("Invalid vector register cast" on tpu.bitcast_vreg i1->i32,
+    # hit on chip 2026-08-21)
+    vchar = (code < _u32(4)).astype(jnp.int32)
     c = code & _u32(3)
 
     def roll1(x, m):
@@ -271,7 +274,7 @@ def _fused_kernel(k: int, noncanonical: bool, seed: int, code_ref, out_ref):
     Flo = Fhi = Glo = Ghi = None
     flo, fhi = zeros, zeros
     glo, ghi = zeros, zeros
-    valid = jnp.ones_like(vchar)
+    valid = jnp.ones_like(vchar)  # i32 ones
     built = 0
     for m, Fl, Fh, Gl, Gh, Vv in reversed(ladder):
         if built + m <= k:
