@@ -72,9 +72,17 @@ def _walk_kernel(Sp1: int, Sp2: int, sketch_size: int, steps: int,
         denom = denom + jnp.where(live, one, zero1)
         return (al_, ah_, bl_, bh_, i, j, common, denom)
 
+    # manual 4x unroll (Mosaic's fori_loop only supports unroll=1 or
+    # full): surplus steps are no-ops once ``live`` drops, so rounding the
+    # trip count up is safe
+    def body4(t, st):
+        for _ in range(4):
+            st = body(t, st)
+        return st
+
     init = (al, ah, bl, bh, zero1, zero1, zero1, zero1)
     al_, ah_, bl_, bh_, i, j, common, denom = jax.lax.fori_loop(
-        jnp.int32(0), jnp.int32(steps), body, init
+        jnp.int32(0), jnp.int32(-(-steps // 4)), body4, init
     )
 
     # post-loop fixup (CommandDistance.cpp:392-400)
