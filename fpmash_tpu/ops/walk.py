@@ -84,7 +84,8 @@ def pairwise_walk_common_denom(
     return common.reshape(R, Q), denom.reshape(R, Q)
 
 
-def tile_walk_common_denom(ref, ref_len, qry, qry_len, *, sketch_size: int):
+def tile_walk_common_denom(ref, ref_len, qry, qry_len, *, sketch_size: int,
+                           max_steps: int | None = None):
     """One-tile dispatcher: Pallas shift-register kernel on TPU (row dims
     must be multiples of 8), the XLA lockstep-gather walk elsewhere.
     ``FPMASH_NO_WALK_PALLAS=1`` forces the XLA formulation."""
@@ -101,7 +102,8 @@ def tile_walk_common_denom(ref, ref_len, qry, qry_len, *, sketch_size: int):
             from fpmash_tpu.ops.walk_pallas import pairwise_walk_pallas
 
             return pairwise_walk_pallas(
-                ref, ref_len, qry, qry_len, sketch_size=sketch_size
+                ref, ref_len, qry, qry_len, sketch_size=sketch_size,
+                max_steps=max_steps,
             )
         except Exception as e:  # pragma: no cover - Mosaic regression
             from fpmash_tpu.utils.trace import warn
@@ -138,6 +140,10 @@ def all_pairs_walk(refs, qrys, sketch_size: int, tile: int = 256):
     S1 = max((len(a) for a in refs), default=1)
     S2 = max((len(a) for a in qrys), default=1)
     R, Q = len(refs), len(qrys)
+    # pow2-bucketed static trip bound from the TRUE max list lengths (the
+    # padded lane width would over-step short fingerprint lists)
+    ms = max(1, min(sketch_size, S1 + S2))
+    max_steps = 1 << (ms - 1).bit_length()
     ref, ref_len = _pad_batch(refs, max(S1, 1))
     qry, qry_len = _pad_batch(qrys, max(S2, 1))
 
@@ -161,6 +167,7 @@ def all_pairs_walk(refs, qrys, sketch_size: int, tile: int = 256):
             jnp.asarray(qryp),
             jnp.asarray(qrylp),
             sketch_size=sketch_size,
+            max_steps=max_steps,
         )
         return np.asarray(c)[:R, :Q], np.asarray(d)[:R, :Q]
 
@@ -197,7 +204,9 @@ def all_pairs_walk(refs, qrys, sketch_size: int, tile: int = 256):
             if mesh is not None:
                 c, d = sharded_all_pairs_walk(mesh, *tiles, sketch_size)
             else:
-                c, d = tile_walk_common_denom(*tiles, sketch_size=sketch_size)
+                c, d = tile_walk_common_denom(
+                    *tiles, sketch_size=sketch_size, max_steps=max_steps
+                )
             rhi, qhi = min(r0 + rtile, R), min(q0 + qtile, Q)
             common[r0:rhi, q0:qhi] = np.asarray(c)[: rhi - r0, : qhi - q0]
             denom[r0:rhi, q0:qhi] = np.asarray(d)[: rhi - r0, : qhi - q0]

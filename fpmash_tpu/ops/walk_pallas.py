@@ -94,7 +94,7 @@ def _walk_kernel(Sp1: int, Sp2: int, sketch_size: int, steps: int,
     out_ref[G : 2 * G, :] = jnp.broadcast_to(denom, (G, 128))
 
 
-@partial(jax.jit, static_argnames=("sketch_size", "interpret"))
+@partial(jax.jit, static_argnames=("sketch_size", "max_steps", "interpret"))
 def pairwise_walk_pallas(
     ref: jax.Array,  # u64[R, S1] file-order hash lists
     ref_len: jax.Array,  # i32[R]
@@ -102,9 +102,16 @@ def pairwise_walk_pallas(
     qry_len: jax.Array,  # i32[Q]
     *,
     sketch_size: int,
+    max_steps: int | None = None,
     interpret: bool = False,
 ):
-    """(common i32[R, Q], denom i32[R, Q]) — R, Q multiples of 8."""
+    """(common i32[R, Q], denom i32[R, Q]) — R, Q multiples of 8.
+
+    ``max_steps``: static upper bound on true walk length (callers that
+    know the real max list lengths pass min(S, max_la + max_lb), ideally
+    pow2-bucketed — the padded lane width would otherwise set the trip
+    count, which over-steps short fingerprint lists by up to 10x).
+    """
     R, S1 = ref.shape
     Q, S2 = qry.shape
     Sp1 = max(128, -(-S1 // 128) * 128)
@@ -127,6 +134,8 @@ def pairwise_walk_pallas(
     lbf = jnp.broadcast_to(qry_len.astype(jnp.int32)[:, None], (Q, 128))
 
     steps = int(min(sketch_size, Sp1 + Sp2))
+    if max_steps is not None:
+        steps = max(1, min(steps, int(max_steps)))
     Rb, Qb = R // GR, Q // GQ
     G = GR * GQ
     Z = np.int32(0)  # np scalar: index maps must not see bare 0 (i64 trap)

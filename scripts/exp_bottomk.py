@@ -110,6 +110,35 @@ def main() -> int:
             cand = jnp.stack(vals, axis=1).reshape(R * P)
             return finish(cand, R * P)[0]
 
+    elif mode == "xor_only":
+
+        def one(x):
+            y = x ^ jnp.uint64(12345)
+            return y[:1024]
+
+    elif mode == "mask_planes":
+
+        def one(x):
+            # u32-plane formulation of the threshold mask: no u64
+            # elementwise ops at all
+            lo = (x & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+            hi = (x >> jnp.uint64(32)).astype(jnp.uint32)
+            t_hi = jnp.uint32((8 * s * (1 << 32)) // N)
+            mask = hi <= t_hi
+            ylo = jnp.where(mask, lo, jnp.uint32(0xFFFFFFFF))
+            yhi = jnp.where(mask, hi, jnp.uint32(0xFFFFFFFF))
+            return (yhi[:1024].astype(jnp.uint64) << jnp.uint64(32)) | ylo[:1024] | jnp.uint64(jnp.sum(mask.astype(jnp.int32)))
+
+    elif mode == "maskstatic_only":
+
+        def one(x):
+            # like mask_only but with a STATIC threshold (no f64 scalar
+            # chain) — isolates the float64 emulation suspect
+            t = jnp.uint64((8 * s * (1 << 64)) // N)
+            mask = x <= t
+            y = jnp.where(mask, x, _U64MAX)
+            return y[:1024] | jnp.uint64(jnp.sum(mask.astype(jnp.int32)))
+
     elif mode == "mask_only":
 
         def one(x):

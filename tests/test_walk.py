@@ -144,7 +144,7 @@ def test_walk_route_selects_pallas_on_tpu(monkeypatch):
     calls = []
     orig = walk_pallas.pairwise_walk_pallas
 
-    def fake(ref, rl, qry, ql, *, sketch_size):
+    def fake(ref, rl, qry, ql, *, sketch_size, max_steps=None):
         calls.append(sketch_size)
         return walk_mod.pairwise_walk_common_denom(
             ref, rl, qry, ql, sketch_size=sketch_size
