@@ -210,58 +210,61 @@ def _bench_kmer(Nseq: int = 1 << 20, k: int = 21, N: int = 8):
     import jax
     import jax.numpy as jnp
 
-    from fpmash_tpu.ops.bottomk import bottom_k_threshold
-    from fpmash_tpu.ops.kmers import _kmer_hashes_acgt
+    from fpmash_tpu.ops.bottomk import bottom_k_threshold_planes
+    from fpmash_tpu.ops.kmers import classic_sketch_device
+    from fpmash_tpu.ops.kmers_pallas import kmer_hashes_fused_pallas_planes
 
     rng = np.random.default_rng(2)
     lut = np.frombuffer(b"ACGT", dtype=np.uint8)
     seq = jnp.asarray(lut[rng.integers(0, 4, size=Nseq)])
     seq2 = jnp.asarray(lut[rng.integers(0, 4, size=Nseq)])
     length = jnp.int32(Nseq)
-    pool = jnp.asarray(rng.integers(1, 1 << 62, size=Nseq, dtype=np.uint64))
-    use_pallas = jax.default_backend() != "cpu"
-
-    def khash(sv):
-        return _kmer_hashes_acgt(
-            sv, length, k=k, noncanonical=False, preserve_case=False,
-            seed=42, pallas=use_pallas,
-        )
+    # hash-pool planes (the representation the fused pipeline uses; XLA
+    # u64 elementwise is ~100x slower than HBM-bound on this chip, so the
+    # production path keeps (lo, hi) u32 planes end to end)
+    plo = jnp.asarray(rng.integers(0, 1 << 32, size=Nseq, dtype=np.uint64).astype(np.uint32))
+    phi = jnp.asarray(rng.integers(0, 1 << 32, size=Nseq, dtype=np.uint64).astype(np.uint32))
+    codes = jnp.asarray(rng.integers(0, 4, size=Nseq).astype(np.uint32))
+    codes2 = jnp.asarray(rng.integers(0, 4, size=Nseq).astype(np.uint32))
 
     @jax.jit
-    def bench_hash(seq, seq2):
-        t = jnp.int32(0)
-        acc = jnp.uint64(0)
+    def bench_hash(codes, codes2):
+        t = jnp.uint32(0)
+        acc = jnp.uint32(0)
         for _ in range(N):
-            sv = jnp.where(t > 0, seq2, seq)
-            h, _ = khash(sv)
-            t = (h[0] & jnp.uint64(1)).astype(jnp.int32)
-            acc = acc + h.sum()
+            cv = jnp.where(t > 0, codes2, codes)
+            h1l, h1h, vw = kmer_hashes_fused_pallas_planes(cv, k=k, seed=42)
+            t = h1l[0] & jnp.uint32(1)
+            acc = acc + jnp.sum(h1l, dtype=jnp.uint32)
         return acc
 
     @jax.jit
-    def bench_bk(pool):
-        t = jnp.uint64(0)
+    def bench_bk(plo, phi):
+        t = jnp.uint32(0)
         acc = jnp.uint64(0)
         for _ in range(N):
-            vals = bottom_k_threshold(pool ^ t, (pool ^ t) > 0, s=1000)[0]
-            t = vals[0] & jnp.uint64(1)
+            vals = bottom_k_threshold_planes(
+                plo ^ t, phi, (plo ^ t) > 0, s=1000
+            )[0]
+            t = (vals[0] & jnp.uint64(1)).astype(jnp.uint32)
             acc = acc + vals.sum()
         return acc
 
     @jax.jit
     def bench_fused(seq, seq2):
-        t = jnp.int32(0)
+        t = jnp.uint8(0)
         acc = jnp.uint64(0)
         for _ in range(N):
             sv = jnp.where(t > 0, seq2, seq)
-            h, valid = khash(sv)
-            vals = bottom_k_threshold(h, valid, s=1000)[0]
-            t = (vals[0] & jnp.uint64(1)).astype(jnp.int32)
+            vals, counts, n, ok = classic_sketch_device(
+                sv, length, k=k, s=1000, seed=42
+            )
+            t = (vals[0] & jnp.uint64(1)).astype(jnp.uint8)
             acc = acc + vals.sum()
         return acc
 
-    r_hash = Nseq * N / _chained_best(bench_hash, seq, seq2)
-    r_bk = Nseq * N / _chained_best(bench_bk, pool)
+    r_hash = Nseq * N / _chained_best(bench_hash, codes, codes2)
+    r_bk = Nseq * N / _chained_best(bench_bk, plo, phi)
     r_fused = Nseq * N / _chained_best(bench_fused, seq, seq2)
     return r_fused, r_hash, r_bk
 

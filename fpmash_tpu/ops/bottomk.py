@@ -73,82 +73,65 @@ def bottom_k_distinct(hashes: jax.Array, valid: jax.Array, *, s: int, min_cov: i
 
 
 @partial(jax.jit, static_argnames=("s", "min_cov", "boost"))
-def bottom_k_threshold(
-    hashes: jax.Array,
-    valid: jax.Array,
+def bottom_k_threshold_planes(
+    lo: jax.Array,  # u32[N] low hash words
+    hi: jax.Array,  # u32[N] high hash words
+    valid: jax.Array,  # bool[N]
     *,
     s: int,
     min_cov: int = 1,
     boost: int = 1,
 ):
-    """Threshold-filtered bottom-s: avoid sorting the whole pool.
+    """Threshold-filtered bottom-s on (lo, hi) u32 PLANES.
 
-    The s-th smallest distinct of ``n`` ~uniform hashes sits near
-    ``s/n * 2^64``; keep everything below ``8x`` that estimate (expected
-    ``8s`` survivors; ``cap`` leaves another ~8x headroom for density
-    skew, e.g. hashes spanning only part of the space), compact, and
-    sort only the ``cap`` candidates —
-    ~20x faster than the full sort at multi-million pools.  Every
-    occurrence of a kept value lands below the same threshold, so
-    multiplicities computed from the candidates alone are exact.
+    XLA u64 elementwise ops measure ~100x slower than HBM allows on this
+    TPU (one 1M-element u64 xor = ~2 ms, scripts/exp_bottomk.py
+    ``xor_only``), so the whole kernel runs on u32 planes; u64 is
+    materialized only for the ``s`` output slots.
 
-    Returns ``(values, counts, n, ok)``; ``ok=False`` means the filter
-    under-collected (non-uniform pool, or ``min_cov`` admission much
-    sparser than the value density) or overflowed ``cap`` — the caller
-    retries with a larger ``boost`` (threshold multiplier) or falls back
-    to :func:`bottom_k_distinct`.
+    Algorithm unchanged from the u64 formulation (see
+    :func:`bottom_k_threshold`): threshold mask -> [C, cols] one-key row
+    sort compaction with an exact displacement check -> two-key candidate
+    sort -> run-length -> min_cov admission.
     """
-    x = jnp.where(valid, hashes.astype(jnp.uint64), _U64MAX)
-    N = x.shape[0]
-    n_valid = jnp.sum(valid.astype(jnp.int64))
+    U32MAX = jnp.uint32(0xFFFFFFFF)
+    N = lo.shape[0]
+    n_valid = jnp.sum(valid.astype(jnp.int32))
     frac = jnp.minimum(
-        (8.0 * s * boost) / jnp.maximum(n_valid.astype(jnp.float64), 1.0), 1.0
+        (8.0 * s * boost) / jnp.maximum(n_valid.astype(jnp.float32), 1.0),
+        1.0,
     )
-    t = jnp.where(
-        frac >= 1.0,
-        _U64MAX,
-        (frac * float(2**64)).astype(jnp.uint64),
+    # threshold on the HI plane only: hi <= t_hi over-collects by at most
+    # one hi-granule (~2^32 values), well inside the 8x headroom; every
+    # copy of a kept value shares its hi, so counts stay exact
+    sat = frac >= 1.0
+    t_hi = jnp.where(
+        sat, U32MAX, (frac * float(2**32)).astype(jnp.uint32)
     )
-    mask = (x <= t) & (x != _U64MAX)
-    m = jnp.sum(mask.astype(jnp.int64))
+    pad = (lo == U32MAX) & (hi == U32MAX)
+    mask = valid & (hi <= t_hi) & ~pad
+    m = jnp.sum(mask.astype(jnp.int32))
 
-    # segmented compaction — NO pool-sized nonzero/gather (a 4M-element
-    # scatter dominated the whole kernel on chip): view the pool as
-    # [C, cols] rows, sort each row with non-candidates pushed to U64MAX,
-    # and keep a fixed per-row prefix.  Candidates overflow a row's prefix
-    # with vanishing probability (ok=False covers it).
-    #
-    # The row sort uses ONE u32 key (the hi plane) with the lo plane as
-    # payload: prefix membership only needs candidates-before-padding,
-    # not full u64 order — the final candidate sort re-orders exactly.
-    # Safety: a candidate with hi == 0xFFFFFFFF could tie with padding
-    # and be displaced past the prefix (possible only when the threshold
-    # saturates); ``prefix_count == m`` below detects any displacement
-    # exactly and flips ok=False.
     cols = 1024 if N % 1024 == 0 else 1
     C = N // cols
     P = min(cols, max(16, -(-32 * s // max(C, 1))))
-    y = jnp.where(mask, x, _U64MAX).reshape(C, cols)
-    yhi = (y >> jnp.uint64(32)).astype(jnp.uint32)
-    ylo = (y & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+    ylo = jnp.where(mask, lo, U32MAX).reshape(C, cols)
+    yhi = jnp.where(mask, hi, U32MAX).reshape(C, cols)
     yhi, ylo = jax.lax.sort((yhi, ylo), num_keys=1)
     row_counts = jnp.sum(mask.reshape(C, cols).astype(jnp.int32), axis=1)
     row_overflow = jnp.max(row_counts) > P
-    cand = (
-        yhi[:, :P].astype(jnp.uint64) << jnp.uint64(32)
-        | ylo[:, :P].astype(jnp.uint64)
-    ).reshape(C * P)
+    chi = yhi[:, :P].reshape(C * P)
+    clo = ylo[:, :P].reshape(C * P)
     cap = C * P
-    prefix_count = jnp.sum(((cand <= t) & (cand != _U64MAX)).astype(jnp.int64))
+    cpad = (chi == U32MAX) & (clo == U32MAX)
+    prefix_count = jnp.sum(((chi <= t_hi) & ~cpad).astype(jnp.int32))
     compaction_ok = ~row_overflow & (prefix_count == m)
 
-    # run-length over the sorted candidates (same math as bottom_k_distinct)
-    hi = (cand >> jnp.uint64(32)).astype(jnp.uint32)
-    lo = (cand & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
-    hi, lo = jax.lax.sort((hi, lo), num_keys=2)
-    c = (hi.astype(jnp.uint64) << jnp.uint64(32)) | lo.astype(jnp.uint64)
-    is_boundary = jnp.concatenate([jnp.array([True]), c[1:] != c[:-1]])
-    is_start = is_boundary & (c != _U64MAX)
+    # run-length over the sorted candidates (planes throughout)
+    chi, clo = jax.lax.sort((chi, clo), num_keys=2)
+    neq = (chi[1:] != chi[:-1]) | (clo[1:] != clo[:-1])
+    is_boundary = jnp.concatenate([jnp.array([True]), neq])
+    is_start = is_boundary & ~((chi == U32MAX) & (clo == U32MAX))
     idx_arr = jnp.arange(cap, dtype=jnp.int32)
     boundary_or_inf = jnp.where(is_boundary, idx_arr, cap)
     nxt = jax.lax.cummin(boundary_or_inf[::-1])[::-1]
@@ -160,13 +143,46 @@ def bottom_k_threshold(
     out_idx = jnp.nonzero(eligible, size=s, fill_value=cap)[0]
     opad = out_idx >= cap
     out_idx = jnp.minimum(out_idx, cap - 1)
-    values = jnp.where(opad, _U64MAX, c[out_idx])
+    # u64 only here, on s slots
+    vals64 = (chi[out_idx].astype(jnp.uint64) << jnp.uint64(32)) | clo[
+        out_idx
+    ].astype(jnp.uint64)
+    values = jnp.where(opad, _U64MAX, vals64)
     counts = jnp.where(opad, jnp.uint32(0), run_count[out_idx])
     n = jnp.sum(~opad).astype(jnp.uint32)
 
     all_taken = m >= n_valid  # threshold saturated: candidates = whole pool
     ok = compaction_ok & ((n_eligible >= s) | all_taken)
     return values, counts, n, ok
+
+
+@partial(jax.jit, static_argnames=("s", "min_cov", "boost"))
+def bottom_k_threshold(
+    hashes: jax.Array,
+    valid: jax.Array,
+    *,
+    s: int,
+    min_cov: int = 1,
+    boost: int = 1,
+):
+    """Threshold-filtered bottom-s: u64 entry point.
+
+    Splits the pool into u32 planes ONCE (the only u64-wide traffic) and
+    runs :func:`bottom_k_threshold_planes`.  Callers that already hold
+    planes (the fused classic pipeline) skip the split entirely.
+
+    Returns ``(values, counts, n, ok)``; ``ok=False`` means the filter
+    under-collected (non-uniform pool, or ``min_cov`` admission much
+    sparser than the value density) or overflowed the compaction cap —
+    the caller retries with a larger ``boost`` (threshold multiplier) or
+    falls back to :func:`bottom_k_distinct`.
+    """
+    x = jnp.where(valid, hashes.astype(jnp.uint64), _U64MAX)
+    lo = (x & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+    hi = (x >> jnp.uint64(32)).astype(jnp.uint32)
+    return bottom_k_threshold_planes(
+        lo, hi, jnp.asarray(valid), s=s, min_cov=min_cov, boost=boost
+    )
 
 
 def bottom_k_host(hashes, s: int, min_cov: int = 1):

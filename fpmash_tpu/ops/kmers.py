@@ -318,3 +318,53 @@ def encode_seq(seq: str | bytes) -> np.ndarray:
     if isinstance(seq, str):
         seq = seq.encode("ascii")
     return np.frombuffer(seq, dtype=np.uint8).copy()
+
+
+@partial(
+    jax.jit,
+    static_argnames=("k", "s", "noncanonical", "preserve_case", "seed", "min_cov", "boost"),
+)
+def classic_sketch_device(
+    seq: jax.Array,  # u8[N]
+    length: jax.Array,  # i32 scalar
+    *,
+    k: int,
+    s: int,
+    noncanonical: bool = False,
+    preserve_case: bool = False,
+    seed: int = 42,
+    min_cov: int = 1,
+    boost: int = 1,
+):
+    """Fused classic sketch: sequence bytes -> bottom-s MinHash, one jit.
+
+    The full addMinHashes + MinHashHeap pipeline (Sketch.cpp:664-735,
+    MinHashHeap.cpp) with NO u64-wide intermediate: the fused Pallas
+    kernel emits (lo, hi) u32 hash planes and the planes bottom-k
+    consumes them directly (XLA u64 elementwise is ~100x slower than
+    HBM-bound on this chip); u64 appears only in the s output slots.
+
+    Returns ``(values u64[s], counts u32[s], n u32, ok bool)`` with
+    :func:`fpmash_tpu.ops.bottomk.bottom_k_threshold` semantics.
+    TPU-only (the Pallas route); callers fall back to
+    kmer_hashes + bottom_k_threshold elsewhere.
+    """
+    from fpmash_tpu.ops.bottomk import bottom_k_threshold_planes
+    from fpmash_tpu.ops.kmers_pallas import kmer_hashes_fused_pallas_planes
+
+    N = seq.shape[0]
+    sequ = seq.astype(jnp.uint8)
+    if not preserve_case:
+        lower = (sequ > 96) & (sequ < 123)
+        sequ = jnp.where(lower, sequ - 32, sequ)
+    code = jnp.full((N,), 4, jnp.uint32)
+    for v, ch in enumerate(b"ACGT"):
+        code = jnp.where(sequ == jnp.uint8(ch), jnp.uint32(v), code)
+    h1l, h1h, vw = kmer_hashes_fused_pallas_planes(
+        code, k=k, noncanonical=noncanonical, seed=seed
+    )
+    pos = jnp.arange(N, dtype=jnp.int32)
+    valid = vw & (pos <= length.astype(jnp.int32) - k)
+    return bottom_k_threshold_planes(
+        h1l, h1h, valid, s=s, min_cov=min_cov, boost=boost
+    )

@@ -339,3 +339,45 @@ def kmer_hashes_fused_pallas(
     v = out[:, 2 * G :, :].reshape(Np)[:N]
     h1 = h1l.astype(jnp.uint64) | (h1h.astype(jnp.uint64) << jnp.uint64(32))
     return h1, v != 0
+
+
+@partial(jax.jit, static_argnames=("k", "noncanonical", "seed", "interpret"))
+def kmer_hashes_fused_pallas_planes(
+    codes: jax.Array,  # u32[N] 2-bit codes, 4 = invalid character
+    *,
+    k: int,
+    noncanonical: bool = False,
+    seed: int = 42,
+    interpret: bool = False,
+):
+    """(h1lo u32[N], h1hi u32[N], window_valid bool[N]) — planes variant.
+
+    Identical kernel; skips the u64 recombine (XLA u64 elementwise is
+    ~100x slower than HBM-bound on this TPU — see ops/bottomk.py), so the
+    fused hash -> bottom-k classic pipeline never touches u64 width until
+    its s output slots.
+    """
+    N = codes.shape[0]
+    G = GROUPS
+    RB = ROW_BLOCK
+    per = G * RB
+    Np = -(-N // per) * per
+    rows = jnp.full((Np,), jnp.uint32(4)).at[:N].set(codes.astype(jnp.uint32))
+    rows = rows.reshape(-1, RB)
+    halo = jnp.roll(rows, -1, axis=0)[:, :HALO]
+    inp = jnp.concatenate([rows, halo], axis=1)
+    chunks = Np // per
+    Z = np.int32(0)
+    call = pl.pallas_call(
+        partial(_fused_kernel, k, noncanonical, seed),
+        grid=(chunks,),
+        out_shape=jax.ShapeDtypeStruct((chunks * 3 * G, RB), jnp.uint32),
+        in_specs=[pl.BlockSpec((G, RB + HALO), lambda i: (i, Z))],
+        out_specs=pl.BlockSpec((3 * G, RB), lambda i: (i, Z)),
+        interpret=interpret,
+    )
+    out = call(inp).reshape(chunks, 3 * G, RB)
+    h1l = out[:, :G, :].reshape(Np)[:N]
+    h1h = out[:, G : 2 * G, :].reshape(Np)[:N]
+    v = out[:, 2 * G :, :].reshape(Np)[:N]
+    return h1l, h1h, v != 0

@@ -1,0 +1,66 @@
+"""Fused kmer kernel timed WITHOUT any u64 postprocessing.
+
+Isolates the kernel's own rate from the u64 emulation suspected of
+dominating the bench (h1l | h1h<<32 combine + u64 sums).  Output stays
+as u32 planes; the accumulator is a u32 sum.
+"""
+import sys, time
+import numpy as np
+
+def main():
+    N = int(sys.argv[1]) if len(sys.argv) > 1 else 1 << 20
+    ITERS = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    k = 21
+    import jax, jax.numpy as jnp
+    from functools import partial
+    from jax.experimental import pallas as pl
+    from fpmash_tpu.ops import kmers_pallas as kp
+
+    rng = np.random.default_rng(0)
+    codes = jnp.asarray(rng.integers(0, 4, size=N).astype(np.uint32))
+    codes2 = jnp.asarray(rng.integers(0, 4, size=N).astype(np.uint32))
+
+    G, RB, HALO = kp.GROUPS, kp.ROW_BLOCK, kp.HALO
+    per = G * RB
+    Np = -(-N // per) * per
+    chunks = Np // per
+
+    def planes_call(c):
+        rows = jnp.full((Np,), jnp.uint32(4)).at[:N].set(c).reshape(-1, RB)
+        halo = jnp.roll(rows, -1, axis=0)[:, :HALO]
+        inp = jnp.concatenate([rows, halo], axis=1)
+        Z = np.int32(0)
+        call = pl.pallas_call(
+            partial(kp._fused_kernel, k, False, 42),
+            grid=(chunks,),
+            out_shape=jax.ShapeDtypeStruct((chunks * 3 * G, RB), jnp.uint32),
+            in_specs=[pl.BlockSpec((G, RB + HALO), lambda i: (i, Z))],
+            out_specs=pl.BlockSpec((3 * G, RB), lambda i: (i, Z)),
+        )
+        return call(inp)
+
+    @jax.jit
+    def bench(codes, codes2):
+        t = jnp.uint32(0)
+        acc = jnp.uint32(0)
+        for _ in range(ITERS):
+            cv = jnp.where(t > 0, codes2, codes)
+            out = planes_call(cv)
+            t = out[0, 0] & jnp.uint32(1)
+            acc = acc + jnp.sum(out, dtype=jnp.uint32)
+        return acc
+
+    print(f"N={N} iters={ITERS} backend={jax.default_backend()}", flush=True)
+    t0 = time.perf_counter()
+    jax.block_until_ready(bench(codes, codes2))
+    print(f"compile+first: {time.perf_counter()-t0:.1f}s", flush=True)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.device_get(bench(codes, codes2))
+        best = min(best, time.perf_counter() - t0)
+    print(f"OK time={best:.3f}s  {N*ITERS/best/1e9:.3f} Gbases/s (kernel+u32 only)", flush=True)
+    return 0
+
+if __name__ == "__main__":
+    sys.exit(main())

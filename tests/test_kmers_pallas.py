@@ -58,3 +58,37 @@ def test_pallas_tail_under_vmap():
         assert np.array_equal(np.asarray(h0)[v], np.asarray(h1)[v])
     finally:
         kp.kmer_hashes_fused_pallas = orig
+
+
+def test_classic_sketch_device_matches_split_path():
+    """Fused seq->bottom-k pipeline (planes end-to-end) == the split
+    kmer_hashes + bottom_k_threshold path, interpret mode."""
+    import functools
+
+    import jax.numpy as jnp
+
+    import fpmash_tpu.ops.kmers_pallas as kp
+    from fpmash_tpu.ops.bottomk import bottom_k_threshold
+    from fpmash_tpu.ops.kmers import _kmer_hashes_acgt, classic_sketch_device
+
+    orig = kp.kmer_hashes_fused_pallas_planes
+    kp.kmer_hashes_fused_pallas_planes = functools.partial(orig, interpret=True)
+    try:
+        rng = np.random.default_rng(2)
+        chars = np.frombuffer(b"ACGTacgtN", np.uint8)
+        seq = chars[rng.integers(0, len(chars), 3000)]
+        ln = 2900
+        v1, c1, n1, ok1 = classic_sketch_device(
+            jnp.asarray(seq), jnp.int32(ln), k=21, s=100, seed=42
+        )
+        h, valid = _kmer_hashes_acgt(
+            jnp.asarray(seq), jnp.int32(ln), k=21, noncanonical=False,
+            preserve_case=False, seed=42, pallas=False,
+        )
+        v0, c0, n0, ok0 = bottom_k_threshold(h, valid, s=100)
+        assert bool(ok1) == bool(ok0)
+        assert int(n1) == int(n0)
+        assert np.array_equal(np.asarray(v1), np.asarray(v0))
+        assert np.array_equal(np.asarray(c1), np.asarray(c0))
+    finally:
+        kp.kmer_hashes_fused_pallas_planes = orig
