@@ -250,24 +250,45 @@ def _fused_kernel(k: int, noncanonical: bool, seed: int, code_ref, out_ref):
     def roll1(x, m):
         return jnp.roll(x, -m, axis=1)
 
-    # ladder: F_m big-endian packed codes, G_m little-endian complements,
-    # V_m all-valid — as u32 pairs (F fits 2k <= 64 bits)
+    # the greedy binary decomposition of k uses only the levels at k's set
+    # bit boundaries (k=21 -> m = 16, 4, 1); keep JUST those taps alive
+    # instead of every ladder level (halves register/VMEM pressure), and
+    # carry a single lo plane while 2m <= 32 bits (hi is provably zero)
+    mlist = []
+    mm = 1
+    while mm * 2 <= k:
+        mm *= 2
+    b, m2 = 0, mm
+    while m2 >= 1:
+        if b + m2 <= k:
+            mlist.append(m2)
+            b += m2
+        m2 //= 2
+    used = set(mlist)
+
     zeros = jnp.zeros_like(c)
-    ladder = []
-    Flo, Fhi = c, zeros
-    Glo, Ghi = c ^ _u32(3), zeros
+    taps = {}
+    Flo, Fhi = c, None  # hi plane materialized only once 2m > 32
+    Glo, Ghi = c ^ _u32(3), None
     Vm = vchar
     m = 1
     while True:
-        ladder.append((m, Flo, Fhi, Glo, Ghi, Vm))
+        if m in used:
+            taps[m] = (Flo, Fhi, Glo, Ghi, Vm)
         if m * 2 > k:
             break
-        sl, sh = _shl_pair(Flo, Fhi, 2 * m)
-        Flo = sl | roll1(Flo, m)
-        Fhi = sh | roll1(Fhi, m)
-        rl_, rh_ = _shl_pair(roll1(Glo, m), roll1(Ghi, m), 2 * m)
-        Glo = Glo | rl_
-        Ghi = Ghi | rh_
+        if Fhi is None and 2 * (2 * m) > 32:
+            Fhi, Ghi = zeros, zeros
+        if Fhi is None:
+            Flo = (Flo << _u32(2 * m)) | roll1(Flo, m)
+            Glo = Glo | (roll1(Glo, m) << _u32(2 * m))
+        else:
+            sl, sh = _shl_pair(Flo, Fhi, 2 * m)
+            Flo = sl | roll1(Flo, m)
+            Fhi = sh | roll1(Fhi, m)
+            rl_, rh_ = _shl_pair(roll1(Glo, m), roll1(Ghi, m), 2 * m)
+            Glo = Glo | rl_
+            Ghi = Ghi | rh_
         Vm = Vm & roll1(Vm, m)
         m *= 2
 
@@ -276,18 +297,22 @@ def _fused_kernel(k: int, noncanonical: bool, seed: int, code_ref, out_ref):
     glo, ghi = zeros, zeros
     valid = jnp.ones_like(vchar)  # i32 ones
     built = 0
-    for m, Fl, Fh, Gl, Gh, Vv in reversed(ladder):
-        if built + m <= k:
-            if built:
-                Fl, Fh = roll1(Fl, built), roll1(Fh, built)
-                Gl, Gh = roll1(Gl, built), roll1(Gh, built)
-                Vv = roll1(Vv, built)
-            sl, sh = _shl_pair(flo, fhi, 2 * m)
-            flo, fhi = sl | Fl, sh | Fh
-            pl2, ph2 = _shl_pair(Gl, Gh, 2 * built)
-            glo, ghi = glo | pl2, ghi | ph2
-            valid = valid & Vv
-            built += m
+    for m in mlist:  # descending set bits of the decomposition
+        Fl, Fh, Gl, Gh, Vv = taps.pop(m)
+        if built:
+            Fl = roll1(Fl, built)
+            Gl = roll1(Gl, built)
+            Vv = roll1(Vv, built)
+            if Fh is not None:
+                Fh, Gh = roll1(Fh, built), roll1(Gh, built)
+        if Fh is None:
+            Fh, Gh = zeros, zeros
+        sl, sh = _shl_pair(flo, fhi, 2 * m)
+        flo, fhi = sl | Fl, sh | Fh
+        pl2, ph2 = _shl_pair(Gl, Gh, 2 * built)
+        glo, ghi = glo | pl2, ghi | ph2
+        valid = valid & Vv
+        built += m
     assert built == k
 
     h1l, h1h = _canonical_murmur_body(k, noncanonical, seed, flo, fhi, glo, ghi)
