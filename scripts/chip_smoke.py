@@ -177,6 +177,48 @@ def main() -> int:
 
     guard("bottomk", _bottomk_case)
 
+    def _bottomk_planes_case():
+        # threshold-filtered planes path (the production pool route)
+        from fpmash_tpu.ops.bottomk import bottom_k_threshold
+
+        pool = rng.integers(1, 1 << 63, size=1 << 18, dtype=np.uint64)
+        pool[:2000] = pool[2000:4000]  # duplicates exercise run counts
+        t0 = time.perf_counter()
+        vals, counts, nv, ok = jax.device_get(
+            bottom_k_threshold(
+                jnp.asarray(pool), jnp.ones(len(pool), bool), s=256
+            )
+        )
+        wv, wc = bottom_k_host(pool, 256)
+        assert bool(ok)
+        got = [int(v) * 7 + int(c) for v, c in zip(vals[: len(wv)], counts[: len(wc)])]
+        want = [int(v) * 7 + int(c) for v, c in zip(wv, wc)]
+        check(f"bottomk-planes ({time.perf_counter()-t0:.0f}s)", got, want)
+
+    guard("bottomk-planes", _bottomk_planes_case)
+
+    def _classic_fused_case():
+        # fused seq -> bottom-k pipeline (classic_sketch_device)
+        from fpmash_tpu.ops.kmers import classic_sketch_device
+        from fpmash_tpu.models.sketch import _kmer_hash_pool_scalar, SketchParams
+
+        seq = _words(rng, 1, 20000, pure=True)[0]
+        t0 = time.perf_counter()
+        vals, counts, nv, ok = jax.device_get(
+            classic_sketch_device(
+                jnp.asarray(seq), jnp.int32(20000), k=21, s=64, seed=42
+            )
+        )
+        p = SketchParams(kmer_size=21, sketch_size=64)
+        pool = _kmer_hash_pool_scalar([seq.tobytes().decode()], p)
+        wv, wc = bottom_k_host(pool, 64)
+        assert bool(ok)
+        got = [int(v) * 7 + int(c) for v, c in zip(vals[: len(wv)], counts[: len(wc)])]
+        want = [int(v) * 7 + int(c) for v, c in zip(wv, wc)]
+        check(f"classic-fused ({time.perf_counter()-t0:.0f}s)", got, want)
+
+    guard("classic-fused", _classic_fused_case)
+
     S = 128
     ref = np.stack([np.unique(rng.integers(1, 1 << 30, size=S * 2, dtype=np.uint64))[:S] for _ in range(8)])
     qry = np.stack([np.unique(rng.integers(1, 1 << 30, size=S * 2, dtype=np.uint64))[:S] for _ in range(8)])
