@@ -28,6 +28,50 @@ import numpy as np
 _U64MAX = jnp.uint64(0xFFFFFFFFFFFFFFFF)
 
 
+def _sort_planes_flat(hi, lo):
+    """Full ascending sort of a flat (hi, lo) u32-pair array.
+
+    XLA's ``lax.sort`` parallelizes over BATCH rows but runs a flat sort
+    near-serially (~120 ns/element on chip — a 32k flat sort alone cost
+    ~4 ms, dominating the whole bottom-k).  This sorts [R, 1024] rows
+    batched (fast) and then merges pairs of sorted rows with a bitonic
+    MERGE network (ascending ++ descending reshaped min/max — the same
+    trick as ops/compare.py), all batched elementwise.
+    """
+    n = hi.shape[0]
+    C0 = 1024
+    if n <= C0 or n % C0:
+        return jax.lax.sort((hi, lo), num_keys=2)
+    R = n // C0
+    h2 = hi.reshape(R, C0)
+    l2 = lo.reshape(R, C0)
+    h2, l2 = jax.lax.sort((h2, l2), dimension=1, num_keys=2)
+    while h2.shape[0] > 1:
+        if h2.shape[0] % 2:
+            pad_h = jnp.full((1, h2.shape[1]), jnp.uint32(0xFFFFFFFF))
+            h2 = jnp.concatenate([h2, pad_h])
+            l2 = jnp.concatenate([l2, pad_h])
+        L = h2.shape[1]
+        h2 = jnp.concatenate([h2[0::2], h2[1::2][:, ::-1]], axis=1)
+        l2 = jnp.concatenate([l2[0::2], l2[1::2][:, ::-1]], axis=1)
+        n2 = 2 * L
+        d = L
+        while d >= 1:
+            hy = h2.reshape(-1, n2 // (2 * d), 2, d)
+            ly = l2.reshape(-1, n2 // (2 * d), 2, d)
+            ah, bh = hy[:, :, 0, :], hy[:, :, 1, :]
+            al, bl = ly[:, :, 0, :], ly[:, :, 1, :]
+            swap = (bh < ah) | ((bh == ah) & (bl < al))
+            h2 = jnp.stack(
+                [jnp.where(swap, bh, ah), jnp.where(swap, ah, bh)], axis=2
+            ).reshape(-1, n2)
+            l2 = jnp.stack(
+                [jnp.where(swap, bl, al), jnp.where(swap, al, bl)], axis=2
+            ).reshape(-1, n2)
+            d //= 2
+    return h2.reshape(-1)[:n], l2.reshape(-1)[:n]
+
+
 @partial(jax.jit, static_argnames=("s", "min_cov"))
 def bottom_k_distinct(hashes: jax.Array, valid: jax.Array, *, s: int, min_cov: int = 1):
     """Bottom-s distinct hashes with counts from a flat pool.
@@ -127,8 +171,9 @@ def bottom_k_threshold_planes(
     prefix_count = jnp.sum(((chi <= t_hi) & ~cpad).astype(jnp.int32))
     compaction_ok = ~row_overflow & (prefix_count == m)
 
-    # run-length over the sorted candidates (planes throughout)
-    chi, clo = jax.lax.sort((chi, clo), num_keys=2)
+    # run-length over the sorted candidates (planes throughout; batched
+    # row-sort + bitonic merge — a flat lax.sort here cost ~4 ms alone)
+    chi, clo = _sort_planes_flat(chi, clo)
     neq = (chi[1:] != chi[:-1]) | (clo[1:] != clo[:-1])
     is_boundary = jnp.concatenate([jnp.array([True]), neq])
     is_start = is_boundary & ~((chi == U32MAX) & (clo == U32MAX))
