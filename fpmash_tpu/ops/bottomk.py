@@ -87,10 +87,11 @@ def bottom_k_distinct(hashes: jax.Array, valid: jax.Array, *, s: int, min_cov: i
     """
     x = jnp.where(valid, hashes.astype(jnp.uint64), _U64MAX)
     # sort as two native u32 keys (hi, lo) — lexicographic == u64 order —
-    # instead of an emulated-u64 comparator
+    # via batched rows + bitonic merge (a flat lax.sort is ~120 ns/elem
+    # on chip, near-serial)
     hi = (x >> jnp.uint64(32)).astype(jnp.uint32)
     lo = (x & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
-    hi, lo = jax.lax.sort((hi, lo), num_keys=2)
+    hi, lo = _sort_planes_flat(hi, lo)
     x = (hi.astype(jnp.uint64) << jnp.uint64(32)) | lo.astype(jnp.uint64)
     N = x.shape[0]
 
