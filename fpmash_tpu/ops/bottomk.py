@@ -31,12 +31,14 @@ _U64MAX = jnp.uint64(0xFFFFFFFFFFFFFFFF)
 def _sort_planes_flat(hi, lo):
     """Full ascending sort of a flat (hi, lo) u32-pair array.
 
-    XLA's ``lax.sort`` parallelizes over BATCH rows but runs a flat sort
-    near-serially (~120 ns/element on chip — a 32k flat sort alone cost
-    ~4 ms, dominating the whole bottom-k).  This sorts [R, 1024] rows
-    batched (fast) and then merges pairs of sorted rows with a bitonic
-    MERGE network (ascending ++ descending reshaped min/max — the same
-    trick as ops/compare.py), all batched elementwise.
+    Tested alternative to a flat ``lax.sort`` (kept for reference with
+    its parity test): sorts [R, 1024] rows batched and merges pairs of
+    sorted rows with a bitonic MERGE network (ascending ++ descending
+    reshaped min/max — the same trick as ops/compare.py).  Measured
+    SLOWER than the flat sort inside the fused classic pipeline on chip
+    (0.159 vs 0.194 Gbases/s) — the merge rounds' many small XLA ops
+    outweigh the flat sort at candidate scale — so production uses
+    ``lax.sort`` directly.
     """
     n = hi.shape[0]
     C0 = 1024
@@ -87,11 +89,10 @@ def bottom_k_distinct(hashes: jax.Array, valid: jax.Array, *, s: int, min_cov: i
     """
     x = jnp.where(valid, hashes.astype(jnp.uint64), _U64MAX)
     # sort as two native u32 keys (hi, lo) — lexicographic == u64 order —
-    # via batched rows + bitonic merge (a flat lax.sort is ~120 ns/elem
-    # on chip, near-serial)
+    # instead of an emulated-u64 comparator
     hi = (x >> jnp.uint64(32)).astype(jnp.uint32)
     lo = (x & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
-    hi, lo = _sort_planes_flat(hi, lo)
+    hi, lo = jax.lax.sort((hi, lo), num_keys=2)
     x = (hi.astype(jnp.uint64) << jnp.uint64(32)) | lo.astype(jnp.uint64)
     N = x.shape[0]
 
@@ -172,9 +173,12 @@ def bottom_k_threshold_planes(
     prefix_count = jnp.sum(((chi <= t_hi) & ~cpad).astype(jnp.int32))
     compaction_ok = ~row_overflow & (prefix_count == m)
 
-    # run-length over the sorted candidates (planes throughout; batched
-    # row-sort + bitonic merge — a flat lax.sort here cost ~4 ms alone)
-    chi, clo = _sort_planes_flat(chi, clo)
+    # run-length over the sorted candidates (planes throughout).
+    # NB: replacing this flat sort with _sort_planes_flat's batched
+    # row-sort + bitonic merge measured SLOWER end to end on chip
+    # (0.159 vs 0.194 Gbases/s fused) — the merge network's many small
+    # XLA ops cost more than the flat sort at 32k candidates.
+    chi, clo = jax.lax.sort((chi, clo), num_keys=2)
     neq = (chi[1:] != chi[:-1]) | (clo[1:] != clo[:-1])
     is_boundary = jnp.concatenate([jnp.array([True]), neq])
     is_start = is_boundary & ~((chi == U32MAX) & (clo == U32MAX))
