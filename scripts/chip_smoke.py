@@ -316,7 +316,8 @@ def main() -> int:
         for i in range(Rw):
             for jj in range(Qw):
                 r = compare_sketches(
-                    wref[i, : wrl[i]], wqry[jj, : wql[jj]], 0, 0, 50, 21, 4.0**21
+                    wref[i, : wrl[i]], wqry[jj, : wql[jj]], 100, 100, 50, 21,
+                    4.0**21,
                 )
                 want.append(r.numer * 100000 + r.denom)
                 got.append(int(c[i, jj]) * 100000 + int(d[i, jj]))
