@@ -20,7 +20,7 @@ def main():
     codes = jnp.asarray(rng.integers(0, 4, size=N).astype(np.uint32))
     codes2 = jnp.asarray(rng.integers(0, 4, size=N).astype(np.uint32))
 
-    G, RB, HALO = kp.GROUPS, kp.ROW_BLOCK, kp.HALO
+    G, RB, HALO = kp.GROUPS, getattr(kp, 'FUSED_RB', kp.ROW_BLOCK), kp.HALO
     per = G * RB
     Np = -(-N // per) * per
     chunks = Np // per
