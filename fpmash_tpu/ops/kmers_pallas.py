@@ -209,11 +209,6 @@ def canonical_murmur_pallas(
 
 
 HALO = 128  # lanes of lookahead per row (>= k-1 for k <= 32; lane-tile aligned)
-# fused-kernel row width: chosen so row + halo is a power of two (2048) —
-# lane rolls over a non-pow2 tile count measured slower on chip
-FUSED_RB = (
-    ROW_BLOCK - HALO if (ROW_BLOCK & (ROW_BLOCK - 1)) == 0 else ROW_BLOCK
-)
 
 
 def _shl_pair(lo, hi, s: int):
@@ -323,7 +318,7 @@ def _fused_kernel(k: int, noncanonical: bool, seed: int, code_ref, out_ref):
     h1l, h1h = _canonical_murmur_body(k, noncanonical, seed, flo, fhi, glo, ghi)
 
     G = GROUPS
-    RB = FUSED_RB
+    RB = ROW_BLOCK
     out_ref[0 * G : 1 * G, :] = h1l[:, :RB]
     out_ref[1 * G : 2 * G, :] = h1h[:, :RB]
     out_ref[2 * G : 3 * G, :] = valid[:, :RB].astype(jnp.uint32)
@@ -345,7 +340,7 @@ def kmer_hashes_fused_pallas(
     """
     N = codes.shape[0]
     G = GROUPS
-    RB = FUSED_RB
+    RB = ROW_BLOCK
     per = G * RB
     Np = -(-N // per) * per
     rows = jnp.full((Np,), jnp.uint32(4)).at[:N].set(codes.astype(jnp.uint32))
@@ -389,7 +384,7 @@ def kmer_hashes_fused_pallas_planes(
     """
     N = codes.shape[0]
     G = GROUPS
-    RB = FUSED_RB
+    RB = ROW_BLOCK
     per = G * RB
     Np = -(-N // per) * per
     rows = jnp.full((Np,), jnp.uint32(4)).at[:N].set(codes.astype(jnp.uint32))
