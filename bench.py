@@ -103,6 +103,10 @@ def main() -> int:
         except Exception as e:  # pragma: no cover
             extra["compare_error"] = type(e).__name__
         try:
+            extra["fp_walk_pairs_per_s"] = round(_bench_walk())
+        except Exception as e:  # pragma: no cover
+            extra["walk_error"] = type(e).__name__
+        try:
             r_fused, r_hash, r_bk = _bench_kmer()
             extra["classic_kmer_bases_per_s"] = round(r_fused)
             extra["kmer_hash_bases_per_s"] = round(r_hash)
@@ -193,6 +197,34 @@ def _bench_compare(R: int = 512, Q: int = 512, S: int = 1000, N: int = 4):
             )
             t = (c[0, 0] & 1).astype(jnp.uint64)
             acc = acc + c.sum().astype(jnp.int32)
+        return acc
+
+    return R * Q * N / _chained_best(bench, ref, qry)
+
+
+def _bench_walk(R: int = 256, Q: int = 256, L: int = 64, N: int = 4):
+    """Order-dependent fingerprint merge-join walk (`dist -fp` on raw .txt
+    lists): the Pallas shift-register tile kernel, in-jit dependent
+    chain."""
+    import jax
+    import jax.numpy as jnp
+
+    from fpmash_tpu.ops.walk_pallas import pairwise_walk_pallas
+
+    rng = np.random.default_rng(3)
+    ref = jnp.asarray(rng.integers(0, 1 << 32, size=(R, L), dtype=np.uint64))
+    qry = jnp.asarray(rng.integers(0, 1 << 32, size=(Q, L), dtype=np.uint64))
+    rl = jnp.asarray(rng.integers(1, L + 1, size=R).astype(np.int32))
+    ql = jnp.asarray(rng.integers(1, L + 1, size=Q).astype(np.int32))
+
+    @jax.jit
+    def bench(ref, qry):
+        t = jnp.uint64(0)
+        acc = jnp.int32(0)
+        for _ in range(N):
+            c, d = pairwise_walk_pallas(ref, rl, qry ^ t, ql, sketch_size=1000)
+            t = (c[0, 0] & 1).astype(jnp.uint64)
+            acc = acc + c.sum() + d.sum()
         return acc
 
     return R * Q * N / _chained_best(bench, ref, qry)
