@@ -213,6 +213,23 @@ def all_pairs_common_denom(refs, qrys, sketch_size: int, tile: int | None = None
 
     common = np.zeros((R, Q), np.int32)
     denom = np.zeros((R, Q), np.int32)
+    # upload the padded sketch sets ONCE and slice tiles ON DEVICE — the
+    # previous per-tile jnp.asarray re-uploaded ~8 MB per tile, which at
+    # 10k x 10k (400 tiles) dominated end-to-end wall clock on a tunneled
+    # device.  Results come back packed (common << 16 | denom, both
+    # <= sketch_size < 2^16) to halve the down-transfer.
+    refd = jnp.asarray(refp)
+    refld = jnp.asarray(reflp)
+    qryd = jnp.asarray(qryp)
+    qryld = jnp.asarray(qrylp)
+
+    pack = sketch_size < (1 << 16)
+
+    @jax.jit
+    def _packed_tile(r, rl, q, ql):
+        c, d = tile_common_denom(r, rl, q, ql, sketch_size=sketch_size)
+        return ((c << 16) | d) if pack else (c, d)
+
     # keep a small window of in-flight tiles: tiles are data-independent,
     # so the device/relay overlaps transfers with compute instead of
     # paying a host round-trip per tile, while the window bounds on-device
@@ -223,22 +240,30 @@ def all_pairs_common_denom(refs, qrys, sketch_size: int, tile: int | None = None
         while len(pending) > keep:
             r0, q0, c, d = pending.pop(0)
             rhi, qhi = min(r0 + rtile, R), min(q0 + qtile, Q)
-            common[r0:rhi, q0:qhi] = np.asarray(c)[: rhi - r0, : qhi - q0]
-            denom[r0:rhi, q0:qhi] = np.asarray(d)[: rhi - r0, : qhi - q0]
+            if d is None:
+                packed = np.asarray(c)[: rhi - r0, : qhi - q0]
+                common[r0:rhi, q0:qhi] = packed >> 16
+                denom[r0:rhi, q0:qhi] = packed & 0xFFFF
+            else:
+                common[r0:rhi, q0:qhi] = np.asarray(c)[: rhi - r0, : qhi - q0]
+                denom[r0:rhi, q0:qhi] = np.asarray(d)[: rhi - r0, : qhi - q0]
 
     for r0 in range(0, Rp, rtile):
         for q0 in range(0, Qp, qtile):
             tiles = (
-                jnp.asarray(refp[r0 : r0 + rtile]),
-                jnp.asarray(reflp[r0 : r0 + rtile]),
-                jnp.asarray(qryp[q0 : q0 + qtile]),
-                jnp.asarray(qrylp[q0 : q0 + qtile]),
+                refd[r0 : r0 + rtile],
+                refld[r0 : r0 + rtile],
+                qryd[q0 : q0 + qtile],
+                qryld[q0 : q0 + qtile],
             )
             if mesh is not None:
                 c, d = sharded_all_pairs(mesh, *tiles, sketch_size)
+                pending.append((r0, q0, c, d))
+            elif pack:
+                pending.append((r0, q0, _packed_tile(*tiles), None))
             else:
-                c, d = tile_common_denom(*tiles, sketch_size=sketch_size)
-            pending.append((r0, q0, c, d))
+                c, d = _packed_tile(*tiles)
+                pending.append((r0, q0, c, d))
             _drain(8)
     _drain(0)
     return common, denom

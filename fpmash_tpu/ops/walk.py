@@ -193,13 +193,26 @@ def all_pairs_walk(refs, qrys, sketch_size: int, tile: int = 256):
 
     common = np.zeros((R, Q), np.int32)
     denom = np.zeros((R, Q), np.int32)
+    # upload once, slice tiles on device (per-tile re-upload dominated
+    # wall clock at scale on a tunneled device; see ops/compare.py)
+    refd, refld = jnp.asarray(refp), jnp.asarray(reflp)
+    qryd, qryld = jnp.asarray(qryp), jnp.asarray(qrylp)
+    pending = []
+
+    def _drain(keep: int):
+        while len(pending) > keep:
+            r0, q0, c, d = pending.pop(0)
+            rhi, qhi = min(r0 + rtile, R), min(q0 + qtile, Q)
+            common[r0:rhi, q0:qhi] = np.asarray(c)[: rhi - r0, : qhi - q0]
+            denom[r0:rhi, q0:qhi] = np.asarray(d)[: rhi - r0, : qhi - q0]
+
     for r0 in range(0, Rp, rtile):
         for q0 in range(0, Qp, qtile):
             tiles = (
-                jnp.asarray(refp[r0 : r0 + rtile]),
-                jnp.asarray(reflp[r0 : r0 + rtile]),
-                jnp.asarray(qryp[q0 : q0 + qtile]),
-                jnp.asarray(qrylp[q0 : q0 + qtile]),
+                refd[r0 : r0 + rtile],
+                refld[r0 : r0 + rtile],
+                qryd[q0 : q0 + qtile],
+                qryld[q0 : q0 + qtile],
             )
             if mesh is not None:
                 c, d = sharded_all_pairs_walk(mesh, *tiles, sketch_size)
@@ -207,7 +220,7 @@ def all_pairs_walk(refs, qrys, sketch_size: int, tile: int = 256):
                 c, d = tile_walk_common_denom(
                     *tiles, sketch_size=sketch_size, max_steps=max_steps
                 )
-            rhi, qhi = min(r0 + rtile, R), min(q0 + qtile, Q)
-            common[r0:rhi, q0:qhi] = np.asarray(c)[: rhi - r0, : qhi - q0]
-            denom[r0:rhi, q0:qhi] = np.asarray(d)[: rhi - r0, : qhi - q0]
+            pending.append((r0, q0, c, d))
+            _drain(8)
+    _drain(0)
     return common, denom
