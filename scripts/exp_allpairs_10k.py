@@ -2,9 +2,11 @@
 
 Runs the PRODUCTION host tile loop (ops.compare.all_pairs_common_denom —
 the same function `dist`/`triangle` call), not a synthetic kernel chain:
-10k x 10k = 100M pairs stream through fixed-shape 128-wide tiles reusing
-one compiled executable.  Wall-clock here includes host tile slicing and
-result placement, i.e. a real end-to-end number.
+10k x 10k = 100M pairs stream through fixed-shape 512-wide device-resident
+tiles reusing one compiled executable.  Wall-clock includes result
+fetch and placement, i.e. a real end-to-end number (round 3: 160 s on the
+tunneled dev rig, of which ~25 s is kernel compute — the tunnel's ~3 MB/s
+result download dominates; PCIe-attached chips are compute-bound).
 
 Usage: python scripts/exp_allpairs_10k.py [N] [S]
 """
