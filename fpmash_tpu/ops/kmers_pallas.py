@@ -406,3 +406,102 @@ def kmer_hashes_fused_pallas_planes(
     h1h = out[:, G : 2 * G, :].reshape(Np)[:N]
     v = out[:, 2 * G :, :].reshape(Np)[:N]
     return h1l, h1h, v != 0
+
+
+def _slab_kernel(k: int, noncanonical: bool, seed: int, code_ref, out_ref):
+    """Pre-shifted code slabs [k*G, RB] -> (h1lo, h1hi, valid) [3G, RB].
+
+    Roll-free variant of :func:`_fused_kernel`: the wrapper provides the
+    k shifted copies of the code vector as separate sublane slabs (row
+    j*G+g holds code[pos+j] for group g), so the kernel is PURE
+    elementwise — the same structure as the proven fused-CFL kernel,
+    which sustains ~1e12 lane-ops/s, while in-kernel lane rolls over
+    17-tile rows measured ~3x slower.
+    """
+    G = GROUPS
+    zeros = None
+    flo = fhi = glo = ghi = None
+    valid = None
+    for j in range(k):
+        code = code_ref[j * G : (j + 1) * G, :]
+        v = (code < _u32(4)).astype(jnp.int32)
+        c = code & _u32(3)
+        if zeros is None:
+            zeros = jnp.zeros_like(c)
+        # F: big-endian — code j sits at bit 2*(k-1-j)
+        sF = 2 * (k - 1 - j)
+        if sF < 32:
+            fl_j, fh_j = c << _u32(sF), zeros
+        elif sF == 32:
+            fl_j, fh_j = zeros, c
+        else:
+            fl_j, fh_j = zeros, c << _u32(sF - 32)
+        # R (packed reverse complement, little-endian): complement at bit 2*j
+        g = c ^ _u32(3)
+        if 2 * j < 32:
+            gl_j, gh_j = g << _u32(2 * j), zeros
+        elif 2 * j == 32:
+            gl_j, gh_j = zeros, g
+        else:
+            gl_j, gh_j = zeros, g << _u32(2 * j - 32)
+        if flo is None:
+            flo, fhi, glo, ghi, valid = fl_j, fh_j, gl_j, gh_j, v
+        else:
+            flo, fhi = flo | fl_j, fhi | fh_j
+            glo, ghi = glo | gl_j, ghi | gh_j
+            valid = valid & v
+
+    h1l, h1h = _canonical_murmur_body(k, noncanonical, seed, flo, fhi, glo, ghi)
+    G = GROUPS
+    out_ref[0 * G : 1 * G, :] = h1l
+    out_ref[1 * G : 2 * G, :] = h1h
+    out_ref[2 * G : 3 * G, :] = valid.astype(jnp.uint32)
+
+
+@partial(jax.jit, static_argnames=("k", "noncanonical", "seed", "interpret"))
+def kmer_hashes_slab_pallas_planes(
+    codes: jax.Array,  # u32[N] 2-bit codes, 4 = invalid character
+    *,
+    k: int,
+    noncanonical: bool = False,
+    seed: int = 42,
+    interpret: bool = False,
+):
+    """(h1lo u32[N], h1hi u32[N], window_valid bool[N]) — slab variant.
+
+    The k shifted code copies are built with XLA rolls on the flat [N]
+    vector (~20 cheap HBM passes) and fed as sublane slabs; the kernel
+    itself has zero cross-lane traffic.  Same contract as
+    :func:`kmer_hashes_fused_pallas_planes`.
+    """
+    N = codes.shape[0]
+    G = GROUPS
+    RB = ROW_BLOCK
+    per = G * RB
+    Np = -(-N // per) * per
+    flat = jnp.full((Np + k,), jnp.uint32(4)).at[:N].set(codes.astype(jnp.uint32))
+    C = Np // per
+    # shifted[j] reshaped to [C, G, RB]; stacked -> [C, k*G, RB] slabs
+    shifted = jnp.stack(
+        [
+            jax.lax.dynamic_slice(flat, (j,), (Np,)).reshape(C, G, RB)
+            for j in range(k)
+        ],
+        axis=1,
+    )  # [C, k, G, RB]
+    slabs = shifted.reshape(C, k * G, RB).reshape(C * k * G, RB)
+
+    Z = np.int32(0)
+    call = pl.pallas_call(
+        partial(_slab_kernel, k, noncanonical, seed),
+        grid=(C,),
+        out_shape=jax.ShapeDtypeStruct((C * 3 * G, RB), jnp.uint32),
+        in_specs=[pl.BlockSpec((k * G, RB), lambda i: (i, Z))],
+        out_specs=pl.BlockSpec((3 * G, RB), lambda i: (i, Z)),
+        interpret=interpret,
+    )
+    out = call(slabs).reshape(C, 3 * G, RB)
+    h1l = out[:, :G, :].reshape(Np)[:N]
+    h1h = out[:, G : 2 * G, :].reshape(Np)[:N]
+    v = out[:, 2 * G :, :].reshape(Np)[:N]
+    return h1l, h1h, v != 0
