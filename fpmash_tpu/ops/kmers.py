@@ -100,9 +100,9 @@ def _kmer_hashes_acgt(
         # sequential-grid kernel (ops/kmers_pallas.py).  The XLA ladder
         # below materializes ~27 rolled [N] u64 temporaries through HBM,
         # which capped the hash stage at ~0.3 Gbases/s on chip.
-        from fpmash_tpu.ops.kmers_pallas import kmer_hashes_fused_pallas
+        from fpmash_tpu.ops.kmers_pallas import kmer_hashes_slab_pallas
 
-        h1, vw = kmer_hashes_fused_pallas(
+        h1, vw = kmer_hashes_slab_pallas(
             code, k=k, noncanonical=noncanonical, seed=seed
         )
         pos = jnp.arange(N, dtype=jnp.int32)
@@ -350,7 +350,7 @@ def classic_sketch_device(
     kmer_hashes + bottom_k_threshold elsewhere.
     """
     from fpmash_tpu.ops.bottomk import bottom_k_threshold_planes
-    from fpmash_tpu.ops.kmers_pallas import kmer_hashes_fused_pallas_planes
+    from fpmash_tpu.ops.kmers_pallas import kmer_hashes_slab_pallas_planes
 
     N = seq.shape[0]
     sequ = seq.astype(jnp.uint8)
@@ -360,7 +360,7 @@ def classic_sketch_device(
     code = jnp.full((N,), 4, jnp.uint32)
     for v, ch in enumerate(b"ACGT"):
         code = jnp.where(sequ == jnp.uint8(ch), jnp.uint32(v), code)
-    h1l, h1h, vw = kmer_hashes_fused_pallas_planes(
+    h1l, h1h, vw = kmer_hashes_slab_pallas_planes(
         code, k=k, noncanonical=noncanonical, seed=seed
     )
     pos = jnp.arange(N, dtype=jnp.int32)

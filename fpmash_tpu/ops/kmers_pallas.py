@@ -505,3 +505,20 @@ def kmer_hashes_slab_pallas_planes(
     h1h = out[:, G : 2 * G, :].reshape(Np)[:N]
     v = out[:, 2 * G :, :].reshape(Np)[:N]
     return h1l, h1h, v != 0
+
+
+@partial(jax.jit, static_argnames=("k", "noncanonical", "seed", "interpret"))
+def kmer_hashes_slab_pallas(
+    codes: jax.Array,
+    *,
+    k: int,
+    noncanonical: bool = False,
+    seed: int = 42,
+    interpret: bool = False,
+):
+    """u64 wrapper over the slab kernel (for callers that need combined
+    hashes; the combine is one u64-wide pass — planes callers avoid it)."""
+    h1l, h1h, vw = kmer_hashes_slab_pallas_planes(
+        codes, k=k, noncanonical=noncanonical, seed=seed, interpret=interpret
+    )
+    return h1l.astype(jnp.uint64) | (h1h.astype(jnp.uint64) << jnp.uint64(32)), vw

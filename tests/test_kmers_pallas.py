@@ -14,8 +14,8 @@ def test_pallas_tail_matches_xla(k, noncanonical):
     import fpmash_tpu.ops.kmers_pallas as kp
     from fpmash_tpu.ops.kmers import _kmer_hashes_acgt
 
-    orig = kp.kmer_hashes_fused_pallas
-    kp.kmer_hashes_fused_pallas = functools.partial(orig, interpret=True)
+    orig = kp.kmer_hashes_slab_pallas
+    kp.kmer_hashes_slab_pallas = functools.partial(orig, interpret=True)
     try:
         rng = np.random.default_rng(k)
         chars = np.frombuffer(b"ACGTacgtN", np.uint8)
@@ -27,7 +27,7 @@ def test_pallas_tail_matches_xla(k, noncanonical):
         assert np.array_equal(v, np.asarray(v1))
         assert np.array_equal(np.asarray(h0)[v], np.asarray(h1)[v])
     finally:
-        kp.kmer_hashes_fused_pallas = orig
+        kp.kmer_hashes_slab_pallas = orig
 
 
 def test_pallas_tail_under_vmap():
@@ -41,8 +41,8 @@ def test_pallas_tail_under_vmap():
     import fpmash_tpu.ops.kmers_pallas as kp
     from fpmash_tpu.ops.kmers import _kmer_hashes_acgt
 
-    orig = kp.kmer_hashes_fused_pallas
-    kp.kmer_hashes_fused_pallas = functools.partial(orig, interpret=True)
+    orig = kp.kmer_hashes_slab_pallas
+    kp.kmer_hashes_slab_pallas = functools.partial(orig, interpret=True)
     try:
         rng = np.random.default_rng(1)
         lut = np.frombuffer(b"ACGT", np.uint8)
@@ -57,7 +57,7 @@ def test_pallas_tail_under_vmap():
         assert np.array_equal(v, np.asarray(v1))
         assert np.array_equal(np.asarray(h0)[v], np.asarray(h1)[v])
     finally:
-        kp.kmer_hashes_fused_pallas = orig
+        kp.kmer_hashes_slab_pallas = orig
 
 
 def test_classic_sketch_device_matches_split_path():
@@ -71,8 +71,8 @@ def test_classic_sketch_device_matches_split_path():
     from fpmash_tpu.ops.bottomk import bottom_k_threshold
     from fpmash_tpu.ops.kmers import _kmer_hashes_acgt, classic_sketch_device
 
-    orig = kp.kmer_hashes_fused_pallas_planes
-    kp.kmer_hashes_fused_pallas_planes = functools.partial(orig, interpret=True)
+    orig = kp.kmer_hashes_slab_pallas_planes
+    kp.kmer_hashes_slab_pallas_planes = functools.partial(orig, interpret=True)
     try:
         rng = np.random.default_rng(2)
         chars = np.frombuffer(b"ACGTacgtN", np.uint8)
@@ -91,4 +91,4 @@ def test_classic_sketch_device_matches_split_path():
         assert np.array_equal(np.asarray(v1), np.asarray(v0))
         assert np.array_equal(np.asarray(c1), np.asarray(c0))
     finally:
-        kp.kmer_hashes_fused_pallas_planes = orig
+        kp.kmer_hashes_slab_pallas_planes = orig

@@ -43,7 +43,7 @@ def test_kmer_route_selects_pallas_on_tpu(monkeypatch):
         calls.append(k)
         return jnp.zeros(codes.shape, jnp.uint64), jnp.ones(codes.shape, bool)
 
-    monkeypatch.setattr(kmers_pallas, "kmer_hashes_fused_pallas", fake)
+    monkeypatch.setattr(kmers_pallas, "kmer_hashes_slab_pallas", fake)
     seq = jnp.asarray(encode_seq("ACGT" * 64))
     kmer_hashes(seq, jnp.int32(256), k=21, seed=42)
     assert calls == [21], "TPU backend did not select the pallas kmer tail"
@@ -62,7 +62,7 @@ def test_kmer_route_fallback_warns_and_is_correct(monkeypatch, capsys):
     def broken(codes, *, k, noncanonical, seed):
         raise ValueError("simulated Mosaic regression")
 
-    monkeypatch.setattr(kmers_pallas, "kmer_hashes_fused_pallas", broken)
+    monkeypatch.setattr(kmers_pallas, "kmer_hashes_slab_pallas", broken)
     h, v = kmer_hashes(seq, ln, k=21, seed=42)
     err = capsys.readouterr().err
     assert "WARNING" in err and "falling back" in err
