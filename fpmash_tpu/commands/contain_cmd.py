@@ -19,7 +19,9 @@ def add_parser(sub):
     p.add_argument("reference", metavar="<reference>")
     p.add_argument("queries", nargs="+", metavar="<query>")
     p.add_argument("-l", "--list", action="store_true")
-    p.add_argument("-e", "--errorThreshold", type=float, default=1.0, help="Error bound threshold for reporting scores values. [1.0]")
+    # default 0.05 matches the reference (CommandContain.cpp:51) — a bare
+    # `fpmash contain` suppresses high-error pairs exactly as mash does
+    p.add_argument("-e", "--errorThreshold", type=float, default=0.05, help="Error bound threshold for reporting scores values. Error bounds can generally be increased by increasing the sketch size of the reference. [0.05]")
     p.add_argument("-C", "--comment", action="store_true", help="Show comment fields with reference/query names.")
     p.add_argument("--backend", default="auto", choices=["auto", "jax", "scalar"])
     add_sketch_options(p)

@@ -38,6 +38,7 @@ def add_parser(sub):
     p.add_argument("reference", metavar="<sketch>")
     p.add_argument("queries", nargs="+", metavar="<query>")
     p.add_argument("-w", "--winner", action="store_true", help="Winner-takes-all strategy for identity estimates.")
+    p.add_argument("-s", "--saturation", action="store_true", help="Include saturation curve in output. Each line will have an additional field representing the absolute number of k-mers seen at each Jaccard increase, formatted as a comma-separated list.")
     p.add_argument("-i", "--identity", type=float, default=0.0, help="Minimum identity to report. [0]")
     p.add_argument("-v", "--pvalue", type=float, default=1.0, help="Maximum p-value to report. [1.0]")
     p.add_argument("-fp", "--fingerprint", action="store_true", help="Query files are fingerprint .txt files.")
@@ -143,6 +144,12 @@ def _run_streaming(args, ref: Sketch, cat: np.ndarray, seg_len: np.ndarray) -> i
     depths = [
         [int(c) for c in depth_cat[a:b]] for a, b in zip(shared_starts, shared_ends)
     ]
+    # `-s` saturation (CommandScreen.cpp:43, :147, :241-245): the fork's
+    # live code pushes a literal 0 per shared-hash hit during counting (the
+    # upstream streaming k-mer totals no longer exist in the rewrite), and
+    # the lists are NOT rebuilt by the -w reallocation — so the field is
+    # `shared[i]` (pre-reallocation) comma-separated zeros.
+    sat_counts = list(shared) if args.saturation else None
     if args.winner:
         # Winner-takes-all reallocation (CommandScreen.cpp:152-200): every
         # distinct reference hash seen in the query stream is credited to
@@ -203,10 +210,13 @@ def _run_streaming(args, ref: Sketch, cat: np.ndarray, seg_len: np.ndarray) -> i
             med = int(medians[i]) if shared[i] > 0 else 0
         else:
             med = sorted(depths[i])[shared[i] // 2] if shared[i] > 0 else 0
-        sys.stdout.write(
+        line = (
             f"{format_g(identity)}\t{shared[i]}/{denom}\t{med}\t{format_g(pv)}"
-            f"\t{r.name}\t{r.comment}\n"
+            f"\t{r.name}\t{r.comment}"
         )
+        if sat_counts is not None:
+            line += "\t" + ",".join(["0"] * sat_counts[i])
+        sys.stdout.write(line + "\n")
     return 0
 
 
@@ -273,8 +283,12 @@ def _run_fp_query(args, ref: Sketch, set_size) -> int:
             med = 1 + int(np.searchsorted(np.cumsum(per_level), shared // 2 + 1))
         else:
             med = 0
-        sys.stdout.write(
+        line = (
             f"{format_g(identity)}\t{shared}/{denom}\t{med}\t{format_g(pv)}"
-            f"\t{q.name}\t{q.comment}\n"
+            f"\t{q.name}\t{q.comment}"
         )
+        if args.saturation:
+            # one 0 per shared hit (CommandScreen.cpp:147, :241-245)
+            line += "\t" + ",".join(["0"] * shared)
+        sys.stdout.write(line + "\n")
     return 0

@@ -142,7 +142,10 @@ def bottom_k_threshold_planes(
     """
     U32MAX = jnp.uint32(0xFFFFFFFF)
     N = lo.shape[0]
-    n_valid = jnp.sum(valid.astype(jnp.int32))
+    # int64 scalar reductions (scalar-only, so no u64-vector perf penalty):
+    # a pool with >= 2^31 valid entries would silently wrap int32 counters
+    # and corrupt the threshold fraction / all_taken / ok logic
+    n_valid = jnp.sum(valid.astype(jnp.int64))
     frac = jnp.minimum(
         (8.0 * s * boost) / jnp.maximum(n_valid.astype(jnp.float32), 1.0),
         1.0,
@@ -156,7 +159,7 @@ def bottom_k_threshold_planes(
     )
     pad = (lo == U32MAX) & (hi == U32MAX)
     mask = valid & (hi <= t_hi) & ~pad
-    m = jnp.sum(mask.astype(jnp.int32))
+    m = jnp.sum(mask.astype(jnp.int64))
 
     cols = 1024 if N % 1024 == 0 else 1
     C = N // cols
@@ -170,7 +173,7 @@ def bottom_k_threshold_planes(
     clo = ylo[:, :P].reshape(C * P)
     cap = C * P
     cpad = (chi == U32MAX) & (clo == U32MAX)
-    prefix_count = jnp.sum(((chi <= t_hi) & ~cpad).astype(jnp.int32))
+    prefix_count = jnp.sum(((chi <= t_hi) & ~cpad).astype(jnp.int64))
     compaction_ok = ~row_overflow & (prefix_count == m)
 
     # run-length over the sorted candidates (planes throughout).

@@ -134,6 +134,28 @@ def tile_common_denom(ref, ref_len, qry, qry_len, *, sketch_size: int):
     )
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def _packed_tile_fn(sketch_size: int, pack: bool):
+    """Module-level jitted tile (common/denom, optionally packed into one
+    int32 as ``c << 16 | d``) — cached per (sketch_size, pack) so repeated
+    ``all_pairs_common_denom`` calls reuse one executable instead of
+    recompiling a fresh closure every invocation (minutes on the tunneled
+    TPU).  Packing is only enabled for ``sketch_size < 2**15`` so that
+    ``c << 16`` cannot touch the int32 sign bit (the Pallas route returns
+    int32; with the old ``< 2**16`` gate a common >= 32768 unpacked as a
+    negative count)."""
+
+    @jax.jit
+    def f(r, rl, q, ql):
+        c, d = tile_common_denom(r, rl, q, ql, sketch_size=sketch_size)
+        return ((c << 16) | d) if pack else (c, d)
+
+    return f
+
+
 def _pad_batch(arrays, S=None):
     n = len(arrays)
     S = S or max((len(a) for a in arrays), default=1)
@@ -223,12 +245,10 @@ def all_pairs_common_denom(refs, qrys, sketch_size: int, tile: int | None = None
     qryd = jnp.asarray(qryp)
     qryld = jnp.asarray(qrylp)
 
-    pack = sketch_size < (1 << 16)
-
-    @jax.jit
-    def _packed_tile(r, rl, q, ql):
-        c, d = tile_common_denom(r, rl, q, ql, sketch_size=sketch_size)
-        return ((c << 16) | d) if pack else (c, d)
+    # < 2**15, not 2**16: the Pallas tile returns int32, and c << 16 with
+    # common >= 32768 would wrap the sign bit (unpacking as negative)
+    pack = sketch_size < (1 << 15)
+    _packed_tile = _packed_tile_fn(sketch_size, pack)
 
     # keep a small window of in-flight tiles: tiles are data-independent,
     # so the device/relay overlaps transfers with compute instead of

@@ -215,7 +215,9 @@ def all_pairs_walk(refs, qrys, sketch_size: int, tile: int = 256):
                 qryld[q0 : q0 + qtile],
             )
             if mesh is not None:
-                c, d = sharded_all_pairs_walk(mesh, *tiles, sketch_size)
+                c, d = sharded_all_pairs_walk(
+                    mesh, *tiles, sketch_size, max_steps=max_steps
+                )
             else:
                 c, d = tile_walk_common_denom(
                     *tiles, sketch_size=sketch_size, max_steps=max_steps

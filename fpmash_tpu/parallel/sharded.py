@@ -182,11 +182,14 @@ def sharded_all_pairs(mesh: Mesh, ref, ref_len, qry, qry_len, sketch_size: int):
 
 
 @lru_cache(maxsize=None)
-def _sharded_all_pairs_walk_fn(mesh: Mesh, sketch_size: int):
+def _sharded_all_pairs_walk_fn(mesh: Mesh, sketch_size: int,
+                               max_steps: int | None):
     from fpmash_tpu.ops.walk import tile_walk_common_denom
 
     def shard_fn(r, rl, q, ql):
-        return tile_walk_common_denom(r, rl, q, ql, sketch_size=sketch_size)
+        return tile_walk_common_denom(
+            r, rl, q, ql, sketch_size=sketch_size, max_steps=max_steps
+        )
 
     return jax.jit(
         shard_map(
@@ -199,10 +202,16 @@ def _sharded_all_pairs_walk_fn(mesh: Mesh, sketch_size: int):
     )
 
 
-def sharded_all_pairs_walk(mesh: Mesh, ref, ref_len, qry, qry_len, sketch_size: int):
+def sharded_all_pairs_walk(mesh: Mesh, ref, ref_len, qry, qry_len,
+                           sketch_size: int, max_steps: int | None = None):
     """Order-dependent walk (unsorted fingerprint lists) with queries
-    sharded over dp — same layout as :func:`sharded_all_pairs`."""
-    return _sharded_all_pairs_walk_fn(mesh, sketch_size)(ref, ref_len, qry, qry_len)
+    sharded over dp — same layout as :func:`sharded_all_pairs`.
+    ``max_steps`` bounds the walk trip count from the TRUE max list
+    lengths (without it the padded lane width over-steps short lists by
+    up to ~10x — same fix as the single-device path, commit 57ddeaa)."""
+    return _sharded_all_pairs_walk_fn(mesh, sketch_size, max_steps)(
+        ref, ref_len, qry, qry_len
+    )
 
 
 @lru_cache(maxsize=None)

@@ -51,7 +51,8 @@ def test_dist_sequence_query(small_world, capsys):
 
 
 def test_contain(small_world, capsys):
-    rc = main(["contain", str(small_world / "refs.msh"), str(small_world / "refs.msh")])
+    rc = main(["contain", "-e", "1.0",
+               str(small_world / "refs.msh"), str(small_world / "refs.msh")])
     assert rc == 0
     out = capsys.readouterr().out.splitlines()
     assert len(out) == 4
@@ -59,6 +60,57 @@ def test_contain(small_world, capsys):
     scores = {tuple(l.split("\t")[2:4]): l.split("\t")[0] for l in out}
     g1 = str(small_world / "g1.fasta")
     assert scores[(g1, g1)] == "1"
+
+
+def test_contain_default_error_threshold_filters(small_world, capsys):
+    """Default -e is 0.05 (CommandContain.cpp:51): the two unrelated-genome
+    cross pairs have high error bounds (1/sqrt(common)) and are suppressed;
+    the self pairs (error 1/sqrt(200) ~ 0.07 > 0.05 too at s=200) — so
+    check against explicit thresholds instead: default output is a strict
+    subset of -e 1.0 output, equal to the -e 0.05 output."""
+    main(["contain", str(small_world / "refs.msh"), str(small_world / "refs.msh")])
+    default_out = capsys.readouterr().out
+    main(["contain", "-e", "0.05",
+          str(small_world / "refs.msh"), str(small_world / "refs.msh")])
+    explicit_out = capsys.readouterr().out
+    main(["contain", "-e", "1.0",
+          str(small_world / "refs.msh"), str(small_world / "refs.msh")])
+    loose_out = capsys.readouterr().out
+    assert default_out == explicit_out
+    assert len(default_out.splitlines()) < len(loose_out.splitlines())
+
+
+def test_screen_fp_saturation(small_world, tmp_path, capsys):
+    """-s appends a comma-separated list of one 0 per shared hit
+    (CommandScreen.cpp:43, :147, :241-245 — the fork's live code pushes
+    literal zeros during counting)."""
+    fp = tmp_path / "q.txt"
+    fp.write_text("q1 3 4 5\nq1 4 5 6\nq2 9 9\n")
+    main(["sketch", "-fp", str(fp), "-o", str(tmp_path / "fpref")])
+    rc = main(["screen", "-s", "-fp", str(tmp_path / "fpref.msh"), str(fp)])
+    assert rc == 0
+    out = capsys.readouterr().out.splitlines()
+    assert len(out) == 2
+    f0 = out[0].split("\t")
+    shared = int(f0[1].split("/")[0])
+    assert f0[6] == ",".join(["0"] * shared) and shared == 2
+    f1 = out[1].split("\t")
+    assert f1[6] == "0"  # q2: one shared hash -> single 0
+
+
+def test_screen_streaming_saturation(small_world, capsys):
+    """-s on the streaming path: field count and zero-list length track the
+    pre-reallocation shared count."""
+    rc = main(["screen", "-s", str(small_world / "refs.msh"),
+               str(small_world / "reads.fastq")])
+    assert rc == 0
+    out = capsys.readouterr().out.splitlines()
+    assert out
+    for line in out:
+        f = line.split("\t")
+        assert len(f) == 7
+        shared = int(f[1].split("/")[0])
+        assert f[6] == ",".join(["0"] * shared)
 
 
 def test_sketch_individual(small_world, tmp_path, capsys):
