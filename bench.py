@@ -113,6 +113,12 @@ def main() -> int:
             extra["bottomk_bases_per_s"] = round(r_bk)
         except Exception as e:  # pragma: no cover
             extra["kmer_error"] = type(e).__name__
+        try:
+            e2e_rate, parse_frac = _bench_e2e_cli()
+            extra["e2e_cli_bases_per_s"] = round(e2e_rate)
+            extra["e2e_host_parse_frac"] = round(parse_frac, 3)
+        except Exception as e:  # pragma: no cover
+            extra["e2e_error"] = type(e).__name__
 
     print(
         json.dumps(
@@ -299,6 +305,72 @@ def _bench_kmer(Nseq: int = 1 << 20, k: int = 21, N: int = 8):
     r_bk = Nseq * N / _chained_best(bench_bk, plo, phi)
     r_fused = Nseq * N / _chained_best(bench_fused, seq, seq2)
     return r_fused, r_hash, r_bk
+
+
+def _bench_e2e_cli(n_reads: int = 256, read_len: int = 2000):
+    """Wall-clock of the full user workflow through the CLI surface:
+    `sketch --direct-fp` on a generated multi-MB FASTA (shift windows +
+    Duval + murmur + .msh write) followed by `dist -fp` of the two
+    sketches — host FASTA parsing, device compute, and .msh I/O all
+    included (BASELINE's "sequences/s per chip" as a user experiences it).
+
+    The workflow runs once to compile (the window batch shapes are
+    padded/bucketed, so run 2 reuses executables like any warm pipeline),
+    then the timed run is a fresh end-to-end pass in the same process.
+    Returns ``(input_bases_per_s, host_parse_fraction)``.
+    """
+    import contextlib
+    import io
+    import os
+    import tempfile
+
+    from fpmash_tpu.cli import main as cli_main
+    from fpmash_tpu.models.fingerprint import extract_reads
+
+    rng = np.random.default_rng(7)
+    lut = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+    def write_fasta(path, seed_off):
+        rng2 = np.random.default_rng(7 + seed_off)
+        with open(path, "w") as f:
+            for i in range(n_reads):
+                seq = lut[rng2.integers(0, 4, size=read_len)].tobytes().decode()
+                f.write(f">r{seed_off}_{i}\n{seq}\n")
+
+    with tempfile.TemporaryDirectory() as td:
+        fa = os.path.join(td, "a.fasta")
+        fb = os.path.join(td, "b.fasta")
+        write_fasta(fa, 0)
+        write_fasta(fb, 1)
+
+        def workflow():
+            with contextlib.redirect_stdout(io.StringIO()), contextlib.redirect_stderr(
+                io.StringIO()
+            ):
+                assert cli_main(["sketch", "--direct-fp", fa, "-o",
+                                 os.path.join(td, "a")]) == 0
+                assert cli_main(["sketch", "--direct-fp", fb, "-o",
+                                 os.path.join(td, "b")]) == 0
+                assert cli_main(["dist", "-fp", os.path.join(td, "a.msh"),
+                                 os.path.join(td, "b.msh")]) == 0
+
+        workflow()  # compile/warm pass
+        t0 = time.perf_counter()
+        workflow()
+        wall = time.perf_counter() - t0
+
+        # host-side parse share: the FASTA reader alone on the same inputs
+        t0 = time.perf_counter()
+        n_parsed = len(extract_reads(fa, rev_com=True)) + len(
+            extract_reads(fb, rev_com=True)
+        )
+        parse_t = time.perf_counter() - t0
+        # rev_com=True emits only the `_0` lines (the reference's inverted
+        # rev-com condition never fires — see models/fingerprint.py)
+        assert n_parsed == 2 * n_reads
+
+    total_bases = 2 * n_reads * read_len
+    return total_bases / wall, parse_t / wall
 
 
 if __name__ == "__main__":
