@@ -6,12 +6,22 @@ MurmurHash3 over the factor-length vectors, i.e. one fingerprint hash per
 pipeline (lyn2vec's per-window Python Duval + hash — the reference's
 fingerprint front-end is pure Python, lyn2vec.py:40).
 
-Timing methodology: N dependent iterations are chained inside ONE jitted
-``lax.scan`` (each iteration's input is derived from the previous
-iteration's output), and the scalar result is fetched to the host.  This
-is required on tunneled/relayed devices, where enqueueing N independent
-calls and blocking on the last one does NOT serialize them and wildly
-overstates throughput.
+Timing methodology (two layers, both required on this rig):
+
+1. N dependent iterations are chained inside ONE jitted program (each
+   iteration's input derived from the previous output) and the result is
+   fetched to the host — on tunneled/relayed devices, enqueueing N
+   independent calls and blocking on the last does NOT serialize them and
+   wildly overstates throughput.
+2. The chain is timed at TWO lengths (I1, I2) and the rate is the SLOPE
+   (work2-work1)/(t2-t1).  Each host->device round trip through the
+   relay costs a fixed ~25-36 ms regardless of the work inside
+   (measured 2026-08-21: 48 adds/element and a 570-op/element kernel
+   both "take" 26 ms at 1M x 8 — the constant, not the device), so a
+   single-point measurement understates small workloads by up to ~10x.
+   The slope cancels the constant; `relay_const_ms` in `extra` reports
+   it for transparency.  The `e2e_cli_*` metric deliberately keeps every
+   overhead (it measures the user-facing CLI wall clock).
 
 Prints ONE JSON line:
   {"metric": "sketched_bases_per_s", "value": N, "unit": "bases/s",
@@ -26,6 +36,32 @@ import time
 
 import numpy as np
 
+_CONSTS = []
+
+
+def _best(fn, *args, reps: int = 3):
+    import jax
+
+    jax.block_until_ready(fn(*args))
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.device_get(fn(*args))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def _slope_rate(make_bench, work_per_iter: float, i1: int, i2: int):
+    """Rate from the slope between two chained-iteration counts; cancels
+    the fixed per-call relay constant (see module docstring)."""
+    b1, args1 = make_bench(i1)
+    t1 = _best(b1, *args1)
+    b2, args2 = make_bench(i2)
+    t2 = _best(b2, *args2)
+    rate = work_per_iter * (i2 - i1) / max(t2 - t1, 1e-9)
+    _CONSTS.append(max(0.0, t1 - work_per_iter * i1 / rate))
+    return rate
+
 
 def main() -> int:
     import jax
@@ -34,8 +70,8 @@ def main() -> int:
     from fpmash_tpu.ops.fused_pallas import fingerprint_hashes_fused
 
     WINDOW = 100
-    B = 131072  # windows per batch
-    N = 16  # chained iterations inside one dispatch
+    B = 524288  # windows per batch (big enough that 12 extra chained
+    # iterations dwarf the ~25-36 ms relay constant)
 
     rng = np.random.default_rng(0)
     lut = np.frombuffer(b"ACGT", dtype=np.uint8)
@@ -48,35 +84,37 @@ def main() -> int:
 
     on_cpu = jax.default_backend() == "cpu"
 
-    @jax.jit
-    def bench(w, w2, l):
-        def body(carry, _):
-            # data dependency on prev iter that keeps the batch pure ACGT
-            # (the production fp path picks the dna16 2-bit packing for
-            # pure-DNA batches)
-            wv = jnp.where(carry > 0, w2, w)
-            if on_cpu:
-                # pallas needs a real TPU; CPU runs the split XLA pipeline
-                from fpmash_tpu.ops.lyndon import cfl_lengths_onehot
-                from fpmash_tpu.ops.murmur3 import murmur3_u64_batch
+    def make_fp(iters):
+        @jax.jit
+        def bench(w, w2, l):
+            def body(carry, _):
+                # data dependency on prev iter that keeps the batch pure
+                # ACGT (the production fp path picks the dna16 2-bit
+                # packing for pure-DNA batches)
+                wv = jnp.where(carry > 0, w2, w)
+                if on_cpu:
+                    # pallas needs a real TPU; CPU runs the split XLA path
+                    from fpmash_tpu.ops.lyndon import cfl_lengths_onehot
+                    from fpmash_tpu.ops.murmur3 import murmur3_u64_batch
 
-                fl, fc = cfl_lengths_onehot(wv, l)
-                h1, _ = murmur3_u64_batch(fl.astype(jnp.uint64), fc, seed=42)
-            else:
-                h1, _, _ = fingerprint_hashes_fused(wv, l, seed=42, pack="dna16")
-            return (h1[0] & jnp.uint64(1)).astype(jnp.int32), h1.sum()
-        _, sums = jax.lax.scan(body, jnp.int32(0), None, length=N)
-        return sums
+                    fl, fc = cfl_lengths_onehot(wv, l)
+                    h1, _ = murmur3_u64_batch(fl.astype(jnp.uint64), fc, seed=42)
+                else:
+                    h1, _, _ = fingerprint_hashes_fused(wv, l, seed=42, pack="dna16")
+                return (h1[0] & jnp.uint64(1)).astype(jnp.int32), h1.sum()
 
-    # warmup/compile
-    jax.block_until_ready(bench(w, w2, l))
+            _, sums = jax.lax.scan(body, jnp.int32(0), None, length=iters)
+            return sums
 
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        jax.device_get(bench(w, w2, l))  # full fetch guarantees completion
-        best = min(best, time.perf_counter() - t0)
-    device_bases_per_s = B * N * WINDOW / best
+        return bench, (w, w2, l)
+
+    if on_cpu:
+        # CPU run (CI smoke): single-point measurement, small shapes
+        bench, args = make_fp(4)
+        t = _best(bench, *args)
+        device_bases_per_s = B * 4 * WINDOW / t
+    else:
+        device_bases_per_s = _slope_rate(make_fp, B * WINDOW, 2, 8)
 
     # scalar CPU baseline (reference-equivalent Python front-end) on a sample
     from fpmash_tpu.scalar.lyndon import cfl
@@ -95,7 +133,7 @@ def main() -> int:
     extra = {}
     if not on_cpu:
         try:
-            extra["icfl_comb_bases_per_s"] = round(_bench_icfl(w, w2, l, B, WINDOW, N))
+            extra["icfl_comb_bases_per_s"] = round(_bench_icfl(w, w2, l, B, WINDOW))
         except Exception as e:  # pragma: no cover
             extra["icfl_comb_error"] = type(e).__name__
         try:
@@ -119,6 +157,8 @@ def main() -> int:
             extra["e2e_host_parse_frac"] = round(parse_frac, 3)
         except Exception as e:  # pragma: no cover
             extra["e2e_error"] = type(e).__name__
+        if _CONSTS:
+            extra["relay_const_ms"] = round(1e3 * float(np.median(_CONSTS)), 1)
 
     print(
         json.dumps(
@@ -134,50 +174,37 @@ def main() -> int:
     return 0
 
 
-def _chained_best(fn, *args, reps: int = 3):
-    import jax
-
-    jax.block_until_ready(fn(*args))
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        jax.device_get(fn(*args))
-        best = min(best, time.perf_counter() - t0)
-    return best
-
-
-def _bench_icfl(w, w2, l, B, WINDOW, N):
+def _bench_icfl(w, w2, l, B, WINDOW):
     """Fused ICFL_COMB pipeline (9-of-10 families' representative)."""
     import jax
     import jax.numpy as jnp
 
     from fpmash_tpu.ops.icfl_pallas import icfl_family_hashes_fused
 
-    @jax.jit
-    def bench(w, w2, l):
-        def body(carry, _):
-            wv = jnp.where(carry > 0, w2, w)
-            h1, _, cnt, ok = icfl_family_hashes_fused(
-                wv, l, family="ICFL_COMB", seed=42, pack="dna16"
-            )
-            return (h1[0] & jnp.uint64(1)).astype(jnp.int32), h1.sum() + ok.sum()
+    def make(iters):
+        @jax.jit
+        def bench(w, w2, l):
+            def body(carry, _):
+                wv = jnp.where(carry > 0, w2, w)
+                h1, _, cnt, ok = icfl_family_hashes_fused(
+                    wv, l, family="ICFL_COMB", seed=42, pack="dna16"
+                )
+                return (h1[0] & jnp.uint64(1)).astype(jnp.int32), h1.sum() + ok.sum()
 
-        _, sums = jax.lax.scan(body, jnp.int32(0), None, length=N)
-        return sums
+            _, sums = jax.lax.scan(body, jnp.int32(0), None, length=iters)
+            return sums
 
-    return B * N * WINDOW / _chained_best(bench, w, w2, l)
+        return bench, (w, w2, l)
+
+    return _slope_rate(make, B * WINDOW, 2, 8)
 
 
-def _bench_compare(R: int = 512, Q: int = 512, S: int = 1000, N: int = 4):
+def _bench_compare(R: int = 512, Q: int = 512, S: int = 1000):
     """Pairwise sketch comparisons/s (BASELINE config 4's kernel): the
     Pallas tile kernel over a 512x512 grid (64x64 sequential grid blocks),
-    N dependent iterations chained by a Python loop inside ONE jit.
-
-    A Pallas grid executes serially per core, so one big dispatch is
-    honest timing; the in-jit dependency chain removes the ~25 ms/dispatch
-    relay latency that capped round-2's number at 666k pairs/s.
-    (lax.scan is avoided deliberately: Pallas-under-scan used to trip the
-    Mosaic index-map i64 bug, root-caused + fixed 2026-08-21.)"""
+    dependent iterations chained by a Python loop inside ONE jit, slope
+    over two chain lengths.  (lax.scan is avoided deliberately:
+    Pallas-under-scan used to trip the Mosaic index-map i64 bug.)"""
     import jax
     import jax.numpy as jnp
 
@@ -193,25 +220,28 @@ def _bench_compare(R: int = 512, Q: int = 512, S: int = 1000, N: int = 4):
     rl = jnp.full((R,), S, jnp.int32)
     ql = jnp.full((Q,), S, jnp.int32)
 
-    @jax.jit
-    def bench(ref, qry):
-        t = jnp.uint64(0)
-        acc = jnp.int32(0)
-        for _ in range(N):
-            c, d = pairwise_common_denom_pallas(
-                ref, rl, qry ^ t, ql, sketch_size=S
-            )
-            t = (c[0, 0] & 1).astype(jnp.uint64)
-            acc = acc + c.sum().astype(jnp.int32)
-        return acc
+    def make(iters):
+        @jax.jit
+        def bench(ref, qry):
+            t = jnp.uint64(0)
+            acc = jnp.int32(0)
+            for _ in range(iters):
+                c, d = pairwise_common_denom_pallas(
+                    ref, rl, qry ^ t, ql, sketch_size=S
+                )
+                t = (c[0, 0] & 1).astype(jnp.uint64)
+                acc = acc + c.sum().astype(jnp.int32)
+            return acc
 
-    return R * Q * N / _chained_best(bench, ref, qry)
+        return bench, (ref, qry)
+
+    return _slope_rate(make, R * Q, 2, 8)
 
 
-def _bench_walk(R: int = 256, Q: int = 256, L: int = 64, N: int = 4):
+def _bench_walk(R: int = 256, Q: int = 256, L: int = 64):
     """Order-dependent fingerprint merge-join walk (`dist -fp` on raw .txt
     lists): the Pallas shift-register tile kernel, in-jit dependent
-    chain."""
+    chain, slope-timed."""
     import jax
     import jax.numpy as jnp
 
@@ -223,27 +253,28 @@ def _bench_walk(R: int = 256, Q: int = 256, L: int = 64, N: int = 4):
     rl = jnp.asarray(rng.integers(1, L + 1, size=R).astype(np.int32))
     ql = jnp.asarray(rng.integers(1, L + 1, size=Q).astype(np.int32))
 
-    @jax.jit
-    def bench(ref, qry):
-        t = jnp.uint64(0)
-        acc = jnp.int32(0)
-        for _ in range(N):
-            c, d = pairwise_walk_pallas(ref, rl, qry ^ t, ql, sketch_size=1000)
-            t = (c[0, 0] & 1).astype(jnp.uint64)
-            acc = acc + c.sum() + d.sum()
-        return acc
+    def make(iters):
+        @jax.jit
+        def bench(ref, qry):
+            t = jnp.uint64(0)
+            acc = jnp.int32(0)
+            for _ in range(iters):
+                c, d = pairwise_walk_pallas(ref, rl, qry ^ t, ql, sketch_size=1000)
+                t = (c[0, 0] & 1).astype(jnp.uint64)
+                acc = acc + c.sum() + d.sum()
+            return acc
 
-    return R * Q * N / _chained_best(bench, ref, qry)
+        return bench, (ref, qry)
+
+    return _slope_rate(make, R * Q, 2, 8)
 
 
-def _bench_kmer(Nseq: int = 1 << 20, k: int = 21, N: int = 8):
-    """Classic k=21 sketch path, three honest numbers (in-jit dependent
-    Python-loop chains; round 2's harmonic combination of a scan rate and
-    a dispatch-latency-bound bottom-k hid the limiting stage):
+def _bench_kmer(Nseq: int = 1 << 22, k: int = 21):
+    """Classic k=21 sketch path, three honest slope numbers:
 
     returns (fused_rate, kmer_hash_rate, bottomk_rate) in bases/s, where
-    fused is the production-equivalent hash -> threshold bottom-k pipeline
-    in ONE jit.
+    fused is the production hash -> threshold bottom-k pipeline in ONE
+    jit (ops/kmers.classic_sketch_device).
     """
     import jax
     import jax.numpy as jnp
@@ -265,45 +296,54 @@ def _bench_kmer(Nseq: int = 1 << 20, k: int = 21, N: int = 8):
     codes = jnp.asarray(rng.integers(0, 4, size=Nseq).astype(np.uint32))
     codes2 = jnp.asarray(rng.integers(0, 4, size=Nseq).astype(np.uint32))
 
-    @jax.jit
-    def bench_hash(codes, codes2):
-        t = jnp.uint32(0)
-        acc = jnp.uint32(0)
-        for _ in range(N):
-            cv = jnp.where(t > 0, codes2, codes)
-            h1l, h1h, vw = kmer_hashes_slab_pallas_planes(cv, k=k, seed=42)
-            t = h1l[0] & jnp.uint32(1)
-            acc = acc + jnp.sum(h1l, dtype=jnp.uint32)
-        return acc
+    def make_hash(iters):
+        @jax.jit
+        def bench(codes, codes2):
+            t = jnp.uint32(0)
+            acc = jnp.uint32(0)
+            for _ in range(iters):
+                cv = jnp.where(t > 0, codes2, codes)
+                h1l, h1h, vw = kmer_hashes_slab_pallas_planes(cv, k=k, seed=42)
+                t = h1l[0] & jnp.uint32(1)
+                acc = acc + jnp.sum(h1l, dtype=jnp.uint32)
+            return acc
 
-    @jax.jit
-    def bench_bk(plo, phi):
-        t = jnp.uint32(0)
-        acc = jnp.uint64(0)
-        for _ in range(N):
-            vals = bottom_k_threshold_planes(
-                plo ^ t, phi, (plo ^ t) > 0, s=1000
-            )[0]
-            t = (vals[0] & jnp.uint64(1)).astype(jnp.uint32)
-            acc = acc + vals.sum()
-        return acc
+        return bench, (codes, codes2)
 
-    @jax.jit
-    def bench_fused(seq, seq2):
-        t = jnp.uint8(0)
-        acc = jnp.uint64(0)
-        for _ in range(N):
-            sv = jnp.where(t > 0, seq2, seq)
-            vals, counts, n, ok = classic_sketch_device(
-                sv, length, k=k, s=1000, seed=42
-            )
-            t = (vals[0] & jnp.uint64(1)).astype(jnp.uint8)
-            acc = acc + vals.sum()
-        return acc
+    def make_bk(iters):
+        @jax.jit
+        def bench(plo, phi):
+            t = jnp.uint32(0)
+            acc = jnp.uint64(0)
+            for _ in range(iters):
+                vals = bottom_k_threshold_planes(
+                    plo ^ t, phi, (plo ^ t) > 0, s=1000
+                )[0]
+                t = (vals[0] & jnp.uint64(1)).astype(jnp.uint32)
+                acc = acc + vals.sum()
+            return acc
 
-    r_hash = Nseq * N / _chained_best(bench_hash, codes, codes2)
-    r_bk = Nseq * N / _chained_best(bench_bk, plo, phi)
-    r_fused = Nseq * N / _chained_best(bench_fused, seq, seq2)
+        return bench, (plo, phi)
+
+    def make_fused(iters):
+        @jax.jit
+        def bench(seq, seq2):
+            t = jnp.uint8(0)
+            acc = jnp.uint64(0)
+            for _ in range(iters):
+                sv = jnp.where(t > 0, seq2, seq)
+                vals, counts, n, ok = classic_sketch_device(
+                    sv, length, k=k, s=1000, seed=42
+                )
+                t = (vals[0] & jnp.uint64(1)).astype(jnp.uint8)
+                acc = acc + vals.sum()
+            return acc
+
+        return bench, (seq, seq2)
+
+    r_hash = _slope_rate(make_hash, Nseq, 4, 16)
+    r_bk = _slope_rate(make_bk, Nseq, 4, 16)
+    r_fused = _slope_rate(make_fused, Nseq, 4, 16)
     return r_fused, r_hash, r_bk
 
 
@@ -311,8 +351,9 @@ def _bench_e2e_cli(n_reads: int = 256, read_len: int = 2000):
     """Wall-clock of the full user workflow through the CLI surface:
     `sketch --direct-fp` on a generated multi-MB FASTA (shift windows +
     Duval + murmur + .msh write) followed by `dist -fp` of the two
-    sketches — host FASTA parsing, device compute, and .msh I/O all
-    included (BASELINE's "sequences/s per chip" as a user experiences it).
+    sketches — host FASTA parsing, device compute, relay dispatches and
+    .msh I/O all included (BASELINE's "sequences/s per chip" as a user
+    experiences it on this rig; NOT slope-corrected, by design).
 
     The workflow runs once to compile (the window batch shapes are
     padded/bucketed, so run 2 reuses executables like any warm pipeline),
@@ -327,7 +368,6 @@ def _bench_e2e_cli(n_reads: int = 256, read_len: int = 2000):
     from fpmash_tpu.cli import main as cli_main
     from fpmash_tpu.models.fingerprint import extract_reads
 
-    rng = np.random.default_rng(7)
     lut = np.frombuffer(b"ACGT", dtype=np.uint8)
 
     def write_fasta(path, seed_off):

@@ -38,38 +38,73 @@ GQ = 8
 _U64MAX = jnp.uint64(0xFFFFFFFFFFFFFFFF)
 
 
-def _walk_kernel(Sp1: int, Sp2: int, sketch_size: int, steps: int,
+def _walk_kernel(Sp1: int, Sp2: int, sketch_size: int, steps: int, pack: int,
                  al_ref, ah_ref, bl_ref, bh_ref, la_ref, lb_ref, out_ref):
+    """``pack`` > 1 places PACK independent pairs per 128-lane row: pair
+    slot ``s`` owns lanes ``[s*128/pack, (s+1)*128/pack)``; the whole row
+    still rolls by one lane under a PER-SLOT advance mask.  The roll leaks
+    the next slot's first element across the slot boundary, but the
+    garbage front starts at the boundary and moves toward lane 0 by at
+    most one lane per advance, while slot ``s``'s head (its lane 0) after
+    ``m`` advances reads original element ``m`` with ``m <= len-1 <
+    128/pack`` — the head always dies (``i >= la``) before the front can
+    reach it, so packed results are bit-identical (asserted in tests
+    against the literal walk).  This multiplies pairs-per-roll by PACK —
+    the roll over the full lane width was the kernel's dominant cost."""
     G = GR * GQ
-    al = jnp.repeat(al_ref[:], GQ, axis=0)  # [G, Sp1]
+    P = pack
+    slot = 128 // P
+    al = jnp.repeat(al_ref[:], GQ, axis=0)  # [G, 128] (P slots of Sp1<=slot)
     ah = jnp.repeat(ah_ref[:], GQ, axis=0)
-    bl = jnp.tile(bl_ref[:], (GR, 1))  # [G, Sp2]
+    bl = jnp.tile(bl_ref[:], (GR, 1))  # [G, 128]
     bh = jnp.tile(bh_ref[:], (GR, 1))
-    la = jnp.repeat(la_ref[:][:, :1].astype(jnp.int32), GQ, axis=0)  # [G, 1]
-    lb = jnp.tile(lb_ref[:][:, :1].astype(jnp.int32), (GR, 1))
+    # lengths ride lane s*slot of each row's slot s
+    laf = jnp.repeat(la_ref[:].astype(jnp.int32), GQ, axis=0)  # [G, 128]
+    lbf = jnp.tile(lb_ref[:].astype(jnp.int32), (GR, 1))
+    la = [laf[:, s * slot : s * slot + 1] for s in range(P)]  # P x [G, 1]
+    lb = [lbf[:, s * slot : s * slot + 1] for s in range(P)]
 
     zero1 = jnp.zeros((G, 1), jnp.int32)
     one = jnp.int32(1)
     cap = jnp.int32(sketch_size)
+    if P > 1:
+        lane = jax.lax.broadcasted_iota(jnp.int32, (G, 128), 1)
+        slot_id = lane >> jnp.int32((slot - 1).bit_length())
+
+    def lane_mask(advs):
+        # [G, 128] mask selecting each slot's [G, 1] advance flag
+        m = jnp.broadcast_to(advs[0], (G, 128))
+        for s in range(1, P):
+            m = jnp.where(slot_id == jnp.int32(s),
+                          jnp.broadcast_to(advs[s], (G, 128)), m)
+        return m
 
     def body(_, st):
         al_, ah_, bl_, bh_, i, j, common, denom = st
-        live = (denom < cap) & (i < la) & (j < lb)  # [G, 1]
-        a_lo, a_hi = al_[:, :1], ah_[:, :1]
-        b_lo, b_hi = bl_[:, :1], bh_[:, :1]
-        lt = (a_hi < b_hi) | ((a_hi == b_hi) & (a_lo < b_lo))
-        gt = (b_hi < a_hi) | ((b_hi == a_hi) & (b_lo < a_lo))
-        adv_i = live & ~gt  # a <= b
-        adv_j = live & ~lt  # b <= a
-        # masked shift-register advance (broadcast [G,1] over lanes)
-        al_ = jnp.where(adv_i, jnp.roll(al_, -1, axis=1), al_)
-        ah_ = jnp.where(adv_i, jnp.roll(ah_, -1, axis=1), ah_)
-        bl_ = jnp.where(adv_j, jnp.roll(bl_, -1, axis=1), bl_)
-        bh_ = jnp.where(adv_j, jnp.roll(bh_, -1, axis=1), bh_)
-        i = i + jnp.where(adv_i, one, zero1)
-        j = j + jnp.where(adv_j, one, zero1)
-        common = common + jnp.where(live & ~lt & ~gt, one, zero1)
-        denom = denom + jnp.where(live, one, zero1)
+        adv_is, adv_js = [], []
+        for s in range(P):
+            c0 = s * slot
+            live = (denom[s] < cap) & (i[s] < la[s]) & (j[s] < lb[s])  # [G,1]
+            a_lo, a_hi = al_[:, c0 : c0 + 1], ah_[:, c0 : c0 + 1]
+            b_lo, b_hi = bl_[:, c0 : c0 + 1], bh_[:, c0 : c0 + 1]
+            lt = (a_hi < b_hi) | ((a_hi == b_hi) & (a_lo < b_lo))
+            gt = (b_hi < a_hi) | ((b_hi == a_hi) & (b_lo < a_lo))
+            adv_i = live & ~gt  # a <= b
+            adv_j = live & ~lt  # b <= a
+            adv_is.append(adv_i)
+            adv_js.append(adv_j)
+            i[s] = i[s] + jnp.where(adv_i, one, zero1)
+            j[s] = j[s] + jnp.where(adv_j, one, zero1)
+            common[s] = common[s] + jnp.where(live & ~lt & ~gt, one, zero1)
+            denom[s] = denom[s] + jnp.where(live, one, zero1)
+        if P == 1:
+            mA, mB = adv_is[0], adv_js[0]  # [G, 1] broadcast over lanes
+        else:
+            mA, mB = lane_mask(adv_is), lane_mask(adv_js)
+        al_ = jnp.where(mA, jnp.roll(al_, -1, axis=1), al_)
+        ah_ = jnp.where(mA, jnp.roll(ah_, -1, axis=1), ah_)
+        bl_ = jnp.where(mB, jnp.roll(bl_, -1, axis=1), bl_)
+        bh_ = jnp.where(mB, jnp.roll(bh_, -1, axis=1), bh_)
         return (al_, ah_, bl_, bh_, i, j, common, denom)
 
     # manual 4x unroll (Mosaic's fori_loop only supports unroll=1 or
@@ -80,18 +115,25 @@ def _walk_kernel(Sp1: int, Sp2: int, sketch_size: int, steps: int,
             st = body(t, st)
         return st
 
-    init = (al, ah, bl, bh, zero1, zero1, zero1, zero1)
+    def zP():
+        return [zero1] * P
+
+    init = (al, ah, bl, bh, zP(), zP(), zP(), zP())
     al_, ah_, bl_, bh_, i, j, common, denom = jax.lax.fori_loop(
         jnp.int32(0), jnp.int32(-(-steps // 4)), body4, init
     )
 
     # post-loop fixup (CommandDistance.cpp:392-400)
-    short = denom < cap
-    rest = jnp.maximum(la - i, zero1) + jnp.maximum(lb - j, zero1)
-    denom = jnp.where(short, jnp.minimum(denom + rest, cap), denom)
-
-    out_ref[0:G, :] = jnp.broadcast_to(common, (G, 128))
-    out_ref[G : 2 * G, :] = jnp.broadcast_to(denom, (G, 128))
+    for s in range(P):
+        short = denom[s] < cap
+        rest = jnp.maximum(la[s] - i[s], zero1) + jnp.maximum(lb[s] - j[s], zero1)
+        denom[s] = jnp.where(short, jnp.minimum(denom[s] + rest, cap), denom[s])
+        out_ref[2 * s * G : (2 * s + 1) * G, :] = jnp.broadcast_to(
+            common[s], (G, 128)
+        )
+        out_ref[(2 * s + 1) * G : (2 * s + 2) * G, :] = jnp.broadcast_to(
+            denom[s], (G, 128)
+        )
 
 
 @partial(jax.jit, static_argnames=("sketch_size", "max_steps", "interpret"))
@@ -114,8 +156,28 @@ def pairwise_walk_pallas(
     """
     R, S1 = ref.shape
     Q, S2 = qry.shape
-    Sp1 = max(128, -(-S1 // 128) * 128)
-    Sp2 = max(128, -(-S2 // 128) * 128)
+    # pair packing: with both lists <= 64 (or 32) lanes, 2 (or 4) query
+    # slots share each 128-lane row — same roll work, PACK x pairs
+    Smax = max(S1, S2)
+    if Smax <= 32:
+        P = 4
+    elif Smax <= 64:
+        P = 2
+    else:
+        P = 1
+    slot = 128 // P
+    Sp1 = slot if P > 1 else max(128, -(-S1 // 128) * 128)
+    Sp2 = slot if P > 1 else max(128, -(-S2 // 128) * 128)
+
+    # pad Q up to a multiple of GQ*P so packed rows are full
+    Qp = -(-Q // (GQ * P)) * (GQ * P)
+    if Qp != Q:
+        qry = jnp.concatenate(
+            [qry, jnp.full((Qp - Q, S2), _U64MAX)], axis=0
+        )
+        qry_len = jnp.concatenate(
+            [qry_len, jnp.zeros((Qp - Q,), qry_len.dtype)], axis=0
+        )
 
     def planes(x, Sp):
         if x.shape[1] != Sp:
@@ -129,33 +191,50 @@ def pairwise_walk_pallas(
 
     al, ah = planes(ref, Sp1)
     bl, bh = planes(qry, Sp2)
-    # lens as [N, 128] lane-replicated i32 slabs (scalar-per-row transport)
-    laf = jnp.broadcast_to(ref_len.astype(jnp.int32)[:, None], (R, 128))
-    lbf = jnp.broadcast_to(qry_len.astype(jnp.int32)[:, None], (Q, 128))
+    la_i = ref_len.astype(jnp.int32)
+    lb_i = qry_len.astype(jnp.int32)
+    if P > 1:
+        # ref row: the same list tiled into every slot; its length likewise
+        al = jnp.tile(al, (1, P))
+        ah = jnp.tile(ah, (1, P))
+        # qry rows fold P consecutive queries into one row's P slots
+        bl = bl.reshape(Qp // P, P * Sp2)
+        bh = bh.reshape(Qp // P, P * Sp2)
+        laf = jnp.broadcast_to(la_i[:, None], (R, 128))
+        lbf = jnp.repeat(lb_i.reshape(Qp // P, P), slot, axis=1)
+    else:
+        laf = jnp.broadcast_to(la_i[:, None], (R, 128))
+        lbf = jnp.broadcast_to(lb_i[:, None], (Qp, 128))
+    Qrows = Qp // P
 
     steps = int(min(sketch_size, Sp1 + Sp2))
     if max_steps is not None:
         steps = max(1, min(steps, int(max_steps)))
-    Rb, Qb = R // GR, Q // GQ
+    Rb, Qb = R // GR, Qrows // GQ
     G = GR * GQ
+    W1 = P * Sp1 if P > 1 else Sp1
+    W2 = P * Sp2 if P > 1 else Sp2
     Z = np.int32(0)  # np scalar: index maps must not see bare 0 (i64 trap)
     call = pl.pallas_call(
-        partial(_walk_kernel, Sp1, Sp2, sketch_size, steps),
+        partial(_walk_kernel, Sp1, Sp2, sketch_size, steps, P),
         grid=(Rb, Qb),
-        out_shape=jax.ShapeDtypeStruct((Rb * Qb * 2 * G, 128), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((Rb * Qb * 2 * P * G, 128), jnp.int32),
         in_specs=[
-            pl.BlockSpec((GR, Sp1), lambda i, j: (i, Z)),
-            pl.BlockSpec((GR, Sp1), lambda i, j: (i, Z)),
-            pl.BlockSpec((GQ, Sp2), lambda i, j: (j, Z)),
-            pl.BlockSpec((GQ, Sp2), lambda i, j: (j, Z)),
+            pl.BlockSpec((GR, W1), lambda i, j: (i, Z)),
+            pl.BlockSpec((GR, W1), lambda i, j: (i, Z)),
+            pl.BlockSpec((GQ, W2), lambda i, j: (j, Z)),
+            pl.BlockSpec((GQ, W2), lambda i, j: (j, Z)),
             pl.BlockSpec((GR, 128), lambda i, j: (i, Z)),
             pl.BlockSpec((GQ, 128), lambda i, j: (j, Z)),
         ],
-        out_specs=pl.BlockSpec((2 * G, 128), lambda i, j, Qb=Qb: (i * Qb + j, Z)),
+        out_specs=pl.BlockSpec(
+            (2 * P * G, 128), lambda i, j, Qb=Qb: (i * Qb + j, Z)
+        ),
         interpret=interpret,
     )
     out = call(al, ah, bl, bh, laf, lbf)
-    out = out[:, 0].reshape(Rb * Qb, 2, G)
-    c = out[:, 0, :].reshape(Rb, Qb, GR, GQ).transpose(0, 2, 1, 3).reshape(R, Q)
-    d = out[:, 1, :].reshape(Rb, Qb, GR, GQ).transpose(0, 2, 1, 3).reshape(R, Q)
-    return c, d
+    out = out[:, 0].reshape(Rb, Qb, P, 2, GR, GQ)
+    # pair (r, q): r = i*GR + gr; q = (j*GQ + gq)*P + s
+    c = out[:, :, :, 0, :, :].transpose(0, 3, 1, 4, 2).reshape(R, Qp)
+    d = out[:, :, :, 1, :, :].transpose(0, 3, 1, 4, 2).reshape(R, Qp)
+    return c[:, :Q], d[:, :Q]

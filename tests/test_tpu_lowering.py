@@ -172,3 +172,24 @@ def test_lower_walk_pallas_kernel():
         ref,
         rl,
     )
+
+
+def test_lower_walk_pallas_kernel_packed_tiers():
+    """AOT-lower the pair-packed walk layouts (P=4 at S<=32, P=1 at
+    S>64) with nontrivial grids — Mosaic shape traps only appear at
+    certain widths."""
+    from fpmash_tpu.ops.walk_pallas import pairwise_walk_pallas
+
+    rng = np.random.default_rng(0)
+    for S in (24, 200):
+        ref = jnp.asarray(rng.integers(0, 1 << 30, size=(16, S), dtype=np.uint64))
+        rl = jnp.full((16,), S, jnp.int32)
+        _lower_tpu(
+            lambda a, al, b, bl: pairwise_walk_pallas(
+                a, al, b, bl, sketch_size=1000
+            ),
+            ref,
+            rl,
+            ref,
+            rl,
+        )

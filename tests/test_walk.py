@@ -116,7 +116,9 @@ def test_walk_pallas_matches_xla_walk():
     from fpmash_tpu.ops.walk_pallas import pairwise_walk_pallas
 
     rng = np.random.default_rng(4)
-    for S, cap in ((40, 30), (150, 1000), (64, 64)):
+    # S buckets cover the pair-packing tiers: <=32 packs 4 pairs/row,
+    # <=64 packs 2, >64 one pair/row; Q=8 with P=4 exercises row padding
+    for S, cap in ((40, 30), (150, 1000), (64, 64), (20, 1000), (32, 16)):
         R = Q = 8
         ref = rng.integers(0, 60, size=(R, S)).astype(np.uint64)
         qry = rng.integers(0, 60, size=(Q, S)).astype(np.uint64)
