@@ -72,12 +72,19 @@ def _walk_kernel(Sp1: int, Sp2: int, sketch_size: int, steps: int, pack: int,
         slot_id = lane >> jnp.int32((slot - 1).bit_length())
 
     def lane_mask(advs):
-        # [G, 128] mask selecting each slot's [G, 1] advance flag
-        m = jnp.broadcast_to(advs[0], (G, 128))
-        for s in range(1, P):
-            m = jnp.where(slot_id == jnp.int32(s),
-                          jnp.broadcast_to(advs[s], (G, 128)), m)
-        return m
+        # [G, 128] mask selecting each slot's [G, 1] advance flag.
+        # Built in i32 and compared to 0: a select with BOOL operands
+        # lowers through an i8->i1 trunci Mosaic cannot compile
+        # ("Unsupported target bitwidth for truncation", hit on chip
+        # 2026-08-21); i32 operands + an i1 comparison result are fine.
+        m = jnp.zeros((G, 128), jnp.int32)
+        for s in range(P):
+            m = m + jnp.where(
+                slot_id == jnp.int32(s),
+                jnp.broadcast_to(advs[s].astype(jnp.int32), (G, 128)),
+                jnp.zeros((G, 128), jnp.int32),
+            )
+        return m != jnp.int32(0)
 
     def body(_, st):
         al_, ah_, bl_, bh_, i, j, common, denom = st
