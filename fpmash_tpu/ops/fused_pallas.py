@@ -373,12 +373,24 @@ def _split_kernel(
     izero = jnp.int32(0)
 
     def sel(col):  # col [G, R] char index -> code value [G, R] i32
+        # binary select tree over the W word slabs: W-1 selects + one
+        # bit-test per level, vs the linear one-hot sum's 3 ops per word
+        # (~40% fewer ops in the per-substep hot path).  Predicates come
+        # from integer compares (i1 results are fine; i1 OPERANDS are the
+        # Mosaic trap).
         colw = col >> cpw_log2
-        word = jnp.zeros((G, R), jnp.int32)
-        for w in range(W):
-            word = word + jnp.where(
-                colw == jnp.int32(w), sp_i[w * G : (w + 1) * G], izero
-            )
+        nodes = [sp_i[w * G : (w + 1) * G] for w in range(W)]
+        while len(nodes) & (len(nodes) - 1):
+            nodes.append(nodes[-1])  # pad to a power of two (dead branch)
+        level = 0
+        while len(nodes) > 1:
+            pred = ((colw >> jnp.int32(level)) & jnp.int32(1)) != jnp.int32(0)
+            nodes = [
+                jnp.where(pred, nodes[2 * i + 1], nodes[2 * i])
+                for i in range(len(nodes) // 2)
+            ]
+            level += 1
+        word = nodes[0]
         sh = ((col & cmask) << bits_log2).astype(jnp.uint32)
         return ((word.astype(jnp.uint32) >> sh) & vmask).astype(jnp.int32)
 

@@ -108,22 +108,35 @@ def _icfl_words_kernel(
     sp_i = sp_ref[:].astype(jnp.int32)
     izero = jnp.int32(0)
 
+    def _tree_select(nodes, idx):
+        # binary select tree: len(nodes)-1 selects + one bit-test per
+        # level vs the linear one-hot sum's 3 ops/word.  i32 operands
+        # only (i1 OPERANDS are a Mosaic trap); i1 predicates are fine.
+        nodes = list(nodes)
+        while len(nodes) & (len(nodes) - 1):
+            nodes.append(nodes[-1])  # dead branch padding
+        level = 0
+        while len(nodes) > 1:
+            pred = ((idx >> jnp.int32(level)) & jnp.int32(1)) != jnp.int32(0)
+            nodes = [
+                jnp.where(pred, nodes[2 * i + 1], nodes[2 * i])
+                for i in range(len(nodes) // 2)
+            ]
+            level += 1
+        return nodes[0]
+
     def sel(col):  # [G, R] char index -> code [G, R] i32
-        colw = col >> cpw_log2
-        word = jnp.zeros((G, R), jnp.int32)
-        for w in range(W):
-            word = word + jnp.where(
-                colw == jnp.int32(w), sp_i[w * G : (w + 1) * G], izero
-            )
+        word = _tree_select(
+            [sp_i[w * G : (w + 1) * G] for w in range(W)], col >> cpw_log2
+        )
         sh = ((col & cmask) << bits_log2).astype(jnp.uint32)
         return ((word.astype(jnp.uint32) >> sh) & vmask).astype(jnp.int32)
 
     # st[]: 4 x u8 entries per u32 word, SW static words as carry values
     def st_read(st, pos):
-        posw = pos >> jnp.int32(2)
-        word = jnp.zeros((G, R), jnp.int32)
-        for w in range(SW):
-            word = word + jnp.where(posw == jnp.int32(w), st[w].astype(jnp.int32), izero)
+        word = _tree_select(
+            [st[w].astype(jnp.int32) for w in range(SW)], pos >> jnp.int32(2)
+        )
         sh = ((pos & jnp.int32(3)) << jnp.int32(3)).astype(jnp.uint32)
         return ((word.astype(jnp.uint32) >> sh) & _u32(0xFF)).astype(jnp.int32)
 
