@@ -352,32 +352,105 @@ class Sketch:
             elif jax.default_backend() != "cpu" and (
                 batch.shape[1] <= (512 if pure_dna else 320)
             ):
+                if (
+                    pure_dna
+                    and uniform
+                    and shift
+                    and batch.shape[1] == W
+                    and sum(len(s) for _, s in reads) < (1 << 30)
+                ):
+                    # flat-stream route: ship each read ONCE as 2-bit
+                    # codes and gather the packed window words on device
+                    # (shift windows overlap ~100x, so uploading u8
+                    # window rows costs ~350x more host->device traffic
+                    # — it dominated e2e wall clock through the tunnel)
+                    try:
+                        from fpmash_tpu.ops.fused_pallas import (
+                            dna16_window_words,
+                            fingerprint_hashes_fused_words,
+                        )
+
+                        code_map = np.zeros(256, np.uint8)
+                        for v, ch in enumerate(b"ACGT"):
+                            code_map[ch] = v
+                        segs, st = [], []
+                        off = 0
+                        for _rid, seq in reads:
+                            s = seq.upper()
+                            n = len(s)
+                            dbl = code_map[
+                                np.frombuffer(
+                                    (s + s[: W - 1]).encode("ascii", "replace"),
+                                    np.uint8,
+                                )
+                            ]
+                            segs.append(dbl)
+                            st.append(np.arange(off, off + n, dtype=np.int32))
+                            off += n + W - 1
+                        flat = np.concatenate(segs)
+                        flat = np.concatenate(
+                            [
+                                flat,
+                                np.zeros(
+                                    _round_up_pow2(len(flat), 4096) - len(flat),
+                                    np.uint8,
+                                ),
+                            ]
+                        )
+                        starts = np.concatenate(st)[:budget]
+                        starts_p = np.zeros(batch.shape[0], np.int32)
+                        starts_p[: len(starts)] = starts
+                        nw = -(-W // 16)
+                        words = dna16_window_words(
+                            jnp.asarray(flat),
+                            jnp.asarray(starts_p),
+                            nwords=nw,
+                            L=W,
+                        )
+                        h1, _, fac_count = shard_rows(
+                            lambda wd, l: fingerprint_hashes_fused_words(
+                                wd, l, L=W, seed=p.seed
+                            ),
+                            (words, lengths),
+                        )
+                    except Exception as e:
+                        from fpmash_tpu.utils.trace import warn
+
+                        warn(
+                            f"sketch: flat-stream window route unavailable "
+                            f"({type(e).__name__}), falling back to u8 "
+                            "window rows (more transfer)"
+                        )
+                        h1 = fac_count = None
                 # fused Pallas kernel: Duval + murmur in one VMEM pass
                 # (1.7x the split XLA pipeline on-chip)
-                try:
-                    from fpmash_tpu.ops.fused_pallas import fingerprint_hashes_fused
+                if h1 is None:
+                    try:
+                        from fpmash_tpu.ops.fused_pallas import (
+                            fingerprint_hashes_fused,
+                        )
 
-                    # pure-ACGT batches (checked above with one O(N) table
-                    # lookup) take the 16-chars-per-word 2-bit packing
-                    # (~2x faster select than the generic byte4)
-                    h1, _, fac_count = shard_rows(
-                        lambda b, l: fingerprint_hashes_fused(
-                            b,
-                            l,
-                            seed=p.seed,
-                            pack="dna16" if pure_dna else "byte4",
-                        ),
-                        (batch, lengths),
-                    )
-                except Exception as e:
-                    from fpmash_tpu.utils.trace import warn
+                        # pure-ACGT batches (checked above with one O(N)
+                        # table lookup) take the 16-chars-per-word 2-bit
+                        # packing (~2x faster select than generic byte4)
+                        h1, _, fac_count = shard_rows(
+                            lambda b, l: fingerprint_hashes_fused(
+                                b,
+                                l,
+                                seed=p.seed,
+                                pack="dna16" if pure_dna else "byte4",
+                            ),
+                            (batch, lengths),
+                        )
+                    except Exception as e:
+                        from fpmash_tpu.utils.trace import warn
 
-                    warn(
-                        f"sketch: fused Duval+murmur pallas kernel "
-                        f"unavailable ({type(e).__name__}), falling back to "
-                        "the split XLA pipeline (slower)"
-                    )
-                    h1 = fac_count = None
+                        warn(
+                            f"sketch: fused Duval+murmur pallas kernel "
+                            f"unavailable ({type(e).__name__}), falling back "
+                            "to the split XLA pipeline (slower)"
+                        )
+                        h1 = fac_count = None
             if h1 is None:
                 def _split_cfl(b, l):
                     fac_len, fac_count = cfl_lengths_onehot(b, l)

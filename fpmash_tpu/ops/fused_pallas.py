@@ -592,6 +592,78 @@ def fingerprint_hashes_fused(
     words = jnp.sum(
         padded.reshape(B, W, cpw) << shifts, axis=-1, dtype=jnp.uint32
     )  # [B, W]
+    return _fused_from_words(
+        words, lengths, L=L, cpw_log2=cpw_log2, bits_log2=bits_log2,
+        seed=seed, interpret=interpret, variant=variant,
+    )
+
+
+@partial(jax.jit, static_argnames=("L", "seed", "interpret", "variant"))
+def fingerprint_hashes_fused_words(
+    words: jax.Array,  # u32[B, ceil(L/16)] dna16-packed window words
+    lengths: jax.Array,
+    *,
+    L: int,
+    seed: int = 42,
+    interpret: bool = False,
+    variant: str = "split",
+):
+    """Pre-packed dna16 entry: identical to :func:`fingerprint_hashes_fused`
+    with ``pack="dna16"`` fed u8 windows, but takes the packed words
+    directly.  Used by the device-side window builder (models/sketch.py):
+    shift windows of one read overlap ~100x, so shipping the read once
+    and gathering packed words on device cuts host->device transfer by
+    ~350x vs uploading u8 window rows."""
+    if variant != "split":
+        raise ValueError("words entry supports the split variant only")
+    return _fused_from_words(
+        words, lengths, L=L, cpw_log2=4, bits_log2=1,
+        seed=seed, interpret=interpret, variant=variant,
+    )
+
+
+@partial(jax.jit, static_argnames=("nwords", "L"))
+def dna16_window_words(
+    flat_codes: jax.Array,  # u8[N] 2-bit codes, doubled reads concatenated
+    starts: jax.Array,  # i32[B] window start index into flat_codes
+    *,
+    nwords: int,
+    L: int,
+):
+    """Build dna16-packed window words ON DEVICE from a flat code stream.
+
+    Shift windows overlap ~L x, so the host ships each read once (2-bit
+    codes of ``seq + seq[:L-1]``) instead of u8 window rows — ~350x less
+    host->device traffic for L=100.  A doubling ladder packs
+    ``LE16[p] = sum_m code[p+m] << 2m`` and ``words[b, w] =
+    LE16[starts[b] + 16 w]`` (one [B] gather per word), bit-identical to
+    :func:`fingerprint_hashes_fused`'s packing of the equivalent u8 rows
+    (the final word is masked to the in-window chars; callers pad
+    ``flat_codes`` so every gather lands in range).
+    """
+    N = flat_codes.shape[0]
+    le = jnp.concatenate(
+        [flat_codes.astype(jnp.uint32), jnp.zeros((16 * nwords + 16,), jnp.uint32)]
+    )
+    m = 1
+    while m < 16:
+        shifted = jnp.concatenate([le[m:], jnp.zeros((m,), jnp.uint32)])
+        le = le | (shifted << jnp.uint32(2 * m))
+        m *= 2
+    s = starts.astype(jnp.int32)
+    cols = [le[s + jnp.int32(16 * w)] for w in range(nwords)]
+    rem = L - 16 * (nwords - 1)
+    if rem < 16:
+        cols[-1] = cols[-1] & jnp.uint32((1 << (2 * rem)) - 1)
+    return jnp.stack(cols, axis=1)
+
+
+def _fused_from_words(
+    words, lengths, *, L, cpw_log2, bits_log2, seed, interpret, variant
+):
+    B = words.shape[0]
+    cpw = 1 << cpw_log2
+    W = words.shape[1]
 
     max_steps = 3 * L + 2
     unroll = 8

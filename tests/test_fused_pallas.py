@@ -194,3 +194,59 @@ def test_split_variant_matches_scalar_chain(pack):
         fac = [len(f) for f in cfl(w)]
         assert int(h1[i]) == hash_u64_vector(fac, seed=42, use64=True), (i, w[:20])
         assert int(fc[i]) == len(fac)
+
+
+def test_flat_stream_words_match_u8_packing():
+    """dna16_window_words (flat read stream + device gather) produces
+    bit-identical packed words AND hashes vs the u8-window wrapper — the
+    transfer-optimized `sketch --direct-fp` route (models/sketch.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from fpmash_tpu.ops.fused_pallas import (
+        dna16_window_words,
+        fingerprint_hashes_fused,
+        fingerprint_hashes_fused_words,
+    )
+
+    random.seed(23)
+    W = 100
+    reads = [
+        "".join(random.choice("ACGT") for _ in range(random.randint(W, 260)))
+        for _ in range(5)
+    ]
+    code_map = np.zeros(256, np.uint8)
+    for v, ch in enumerate(b"ACGT"):
+        code_map[ch] = v
+    segs, st, wins = [], [], []
+    off = 0
+    for seq in reads:
+        n = len(seq)
+        dbl = seq + seq[: W - 1]
+        segs.append(code_map[np.frombuffer(dbl.encode(), np.uint8)])
+        st.append(np.arange(off, off + n, dtype=np.int32))
+        off += n + W - 1
+        for i in range(n):
+            wins.append(dbl[i : i + W])
+    flat = np.concatenate(segs)
+    starts = np.concatenate(st)
+    B = len(wins)
+    batch = np.frombuffer("".join(wins).encode(), np.uint8).reshape(B, W)
+    lens = np.full(B, W, np.int32)
+
+    words = dna16_window_words(
+        jnp.asarray(flat), jnp.asarray(starts), nwords=-(-W // 16), L=W
+    )
+    h1w, _, fcw = jax.device_get(
+        fingerprint_hashes_fused_words(
+            words, jnp.asarray(lens), L=W, seed=42, interpret=True
+        )
+    )
+    h1u, _, fcu = jax.device_get(
+        fingerprint_hashes_fused(
+            jnp.asarray(batch), jnp.asarray(lens), seed=42, interpret=True,
+            pack="dna16",
+        )
+    )
+    assert np.array_equal(h1w, h1u)
+    assert np.array_equal(fcw, fcu)
