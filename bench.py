@@ -316,8 +316,10 @@ def _bench_kmer(Nseq: int = 1 << 22, k: int = 21):
             t = jnp.uint32(0)
             acc = jnp.uint64(0)
             for _ in range(iters):
+                # need_counts=False matches the default-CLI fused pipeline
+                # (multiplicities are computed only for -M/-m/-c)
                 vals = bottom_k_threshold_planes(
-                    plo ^ t, phi, (plo ^ t) > 0, s=1000
+                    plo ^ t, phi, (plo ^ t) > 0, s=1000, need_counts=False
                 )[0]
                 t = (vals[0] & jnp.uint64(1)).astype(jnp.uint32)
                 acc = acc + vals.sum()

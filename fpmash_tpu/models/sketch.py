@@ -1022,9 +1022,13 @@ def _bottom_k(hashes: np.ndarray, p: SketchParams, backend: str):
         # filter under-collects (non-uniform pool or sparse min_cov)
         from fpmash_tpu.ops.bottomk import bottom_k_threshold
 
+        # multiplicity counts are only consumed with -M/-m/-c; skipping the
+        # run-length pass when unused is ~1.6x on the bottom-k stage
+        need_counts = bool(p.counts or p.min_cov > 1 or p.target_cov > 0)
         for boost in (1, 8):
             values, counts, n, ok = bottom_k_threshold(
                 pool_j, valid_j, s=p.sketch_size, min_cov=p.min_cov, boost=boost,
+                need_counts=need_counts,
             )
             if bool(ok):
                 n = int(n)

@@ -322,7 +322,7 @@ def encode_seq(seq: str | bytes) -> np.ndarray:
 
 @partial(
     jax.jit,
-    static_argnames=("k", "s", "noncanonical", "preserve_case", "seed", "min_cov", "boost"),
+    static_argnames=("k", "s", "noncanonical", "preserve_case", "seed", "min_cov", "boost", "need_counts"),
 )
 def classic_sketch_device(
     seq: jax.Array,  # u8[N]
@@ -335,6 +335,7 @@ def classic_sketch_device(
     seed: int = 42,
     min_cov: int = 1,
     boost: int = 1,
+    need_counts: bool | None = None,
 ):
     """Fused classic sketch: sequence bytes -> bottom-s MinHash, one jit.
 
@@ -365,6 +366,11 @@ def classic_sketch_device(
     )
     pos = jnp.arange(N, dtype=jnp.int32)
     valid = vw & (pos <= length.astype(jnp.int32) - k)
+    if need_counts is None:
+        # default CLI sketching consumes no multiplicities; reads mode
+        # (min_cov/-M/-c) asks for them explicitly
+        need_counts = min_cov > 1
     return bottom_k_threshold_planes(
-        h1l, h1h, valid, s=s, min_cov=min_cov, boost=boost
+        h1l, h1h, valid, s=s, min_cov=min_cov, boost=boost,
+        need_counts=need_counts,
     )

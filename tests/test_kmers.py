@@ -90,3 +90,27 @@ def test_public_kmer_hashes_routes_acgt():
     )
     assert np.array_equal(np.asarray(h1), np.asarray(h2))
     assert np.array_equal(np.asarray(v1), np.asarray(v2))
+
+
+def test_bottomk_need_counts_false_same_values():
+    """need_counts=False (default-CLI sketching) returns the identical
+    value set with counts reported as 1 (multiplicities unused)."""
+    import jax.numpy as jnp
+
+    from fpmash_tpu.ops.bottomk import bottom_k_threshold
+
+    rng = np.random.default_rng(11)
+    pool = rng.integers(0, 1 << 63, size=1 << 17, dtype=np.uint64)
+    pool[100:200] = pool[0]  # duplicates exercise the run-length delta
+    valid = np.ones(pool.shape, bool)
+    v1, c1, n1, ok1 = bottom_k_threshold(
+        jnp.asarray(pool), jnp.asarray(valid), s=1000, need_counts=True
+    )
+    v2, c2, n2, ok2 = bottom_k_threshold(
+        jnp.asarray(pool), jnp.asarray(valid), s=1000, need_counts=False
+    )
+    assert bool(ok1) and bool(ok2)
+    assert np.array_equal(np.asarray(v1), np.asarray(v2))
+    assert int(n1) == int(n2)
+    c2 = np.asarray(c2)
+    assert (c2[: int(n2)] == 1).all()
