@@ -197,6 +197,76 @@ def main() -> int:
 
     guard("bottomk-planes", _bottomk_planes_case)
 
+    def _bottomk_nocounts_case():
+        # need_counts=False fast path (default-CLI sketching): identical
+        # value set, counts reported as 1
+        from fpmash_tpu.ops.bottomk import bottom_k_threshold
+
+        pool = rng.integers(1, 1 << 63, size=1 << 18, dtype=np.uint64)
+        pool[:2000] = pool[2000:4000]
+        t0 = time.perf_counter()
+        vals, counts, nv, ok = jax.device_get(
+            bottom_k_threshold(
+                jnp.asarray(pool), jnp.ones(len(pool), bool), s=256,
+                need_counts=False,
+            )
+        )
+        wv, _ = bottom_k_host(pool, 256)
+        assert bool(ok)
+        assert all(int(c) == 1 for c in counts[: len(wv)])
+        check(
+            f"bottomk-nocounts ({time.perf_counter()-t0:.0f}s)",
+            vals[: len(wv)],
+            list(map(int, wv)),
+        )
+
+    guard("bottomk-nocounts", _bottomk_nocounts_case)
+
+    def _flat_words_case():
+        # device-side window-word builder + words-entry fused kernel
+        # (the sketch --direct-fp flat-stream route)
+        from fpmash_tpu.ops.fused_pallas import (
+            dna16_window_words,
+            fingerprint_hashes_fused_words,
+        )
+        from fpmash_tpu.scalar.murmur3 import hash_u64_vector
+
+        W = 100
+        reads = ["".join("ACGT"[c] for c in rng.integers(0, 4, size=n))
+                 for n in (150, 230)]
+        code_map = np.zeros(256, np.uint8)
+        for v, ch in enumerate(b"ACGT"):
+            code_map[ch] = v
+        segs, st, wins = [], [], []
+        off = 0
+        for seq in reads:
+            dbl = seq + seq[: W - 1]
+            segs.append(code_map[np.frombuffer(dbl.encode(), np.uint8)])
+            st.append(np.arange(off, off + len(seq), dtype=np.int32))
+            off += len(seq) + W - 1
+            for i in range(len(seq)):
+                wins.append(dbl[i : i + W])
+        flat = np.concatenate(segs)
+        starts = np.concatenate(st)
+        lens = np.full(len(starts), W, np.int32)
+        t0 = time.perf_counter()
+        words = dna16_window_words(
+            jnp.asarray(flat), jnp.asarray(starts), nwords=-(-W // 16), L=W
+        )
+        h1, _, fc = jax.device_get(
+            fingerprint_hashes_fused_words(
+                words, jnp.asarray(lens), L=W, seed=42
+            )
+        )
+        want, got = [], []
+        for i in (0, 1, len(wins) // 2, len(wins) - 1):
+            fac = [len(f) for f in cfl(wins[i])]
+            want.append(hash_u64_vector(fac, seed=42, use64=True) * 131 + len(fac))
+            got.append(int(h1[i]) * 131 + int(fc[i]))
+        check(f"flat-words ({time.perf_counter()-t0:.0f}s)", got, want)
+
+    guard("flat-words", _flat_words_case)
+
     def _classic_fused_case():
         # fused seq -> bottom-k pipeline (classic_sketch_device)
         from fpmash_tpu.ops.kmers import classic_sketch_device
