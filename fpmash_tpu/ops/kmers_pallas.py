@@ -507,6 +507,121 @@ def kmer_hashes_slab_pallas_planes(
     return h1l, h1h, v != 0
 
 
+def _packed_slab_kernel(k: int, noncanonical: bool, seed: int,
+                        bea_ref, beb_ref, lea_ref, leb_ref, wv_ref, out_ref):
+    """Packed-plane variant of :func:`_slab_kernel` for 16 < k <= 32.
+
+    The wrapper pre-packs 16-code words in XLA (doubling ladder on the
+    flat code vector): BE16[p] = big-endian codes p..p+15, LE16[p] =
+    little-endian complements p..p+15, plus their +16-shifted copies and
+    the window-validity plane — 5 u32 planes (20 B/base) instead of k
+    one-code-per-u32 slabs (84 B/base at k=21), and the in-kernel window
+    assembly is ~10 shifts/ors instead of the ~170-op OR tree."""
+    G = GROUPS
+    bea, beb = bea_ref[:], beb_ref[:]
+    s_hi = 2 * (32 - k)  # 64 - 2k
+    s_lo = 2 * k - 32
+    fhi = bea >> _u32(s_hi)
+    flo = (bea << _u32(s_lo)) | (beb >> _u32(s_hi))
+    if noncanonical:
+        rlo = rhi = flo  # unused
+    else:
+        lea, leb = lea_ref[:], leb_ref[:]
+        rlo = lea
+        rhi = leb & _u32((1 << s_lo) - 1)
+    h1l, h1h = _canonical_murmur_body(k, noncanonical, seed, flo, fhi, rlo, rhi)
+    out_ref[0 * G : 1 * G, :] = h1l
+    out_ref[1 * G : 2 * G, :] = h1h
+    out_ref[2 * G : 3 * G, :] = wv_ref[:]
+
+
+@partial(jax.jit, static_argnames=("k", "noncanonical", "seed", "interpret"))
+def kmer_hashes_packed_pallas_planes(
+    codes: jax.Array,  # u32[N] 2-bit codes, 4 = invalid character
+    *,
+    k: int,
+    noncanonical: bool = False,
+    seed: int = 42,
+    interpret: bool = False,
+):
+    """(h1lo u32[N], h1hi u32[N], window_valid bool[N]) — packed variant.
+
+    Same contract as :func:`kmer_hashes_slab_pallas_planes`; requires
+    16 < k <= 32 (two packed words cover the window).  XLA builds the
+    BE/LE 16-code ladders and the validity AND-ladder over the flat code
+    vector (~9 materialized passes), the kernel assembles each window's
+    (lo, hi) planes from two words.
+    """
+    if not (16 < k <= 32):
+        raise ValueError("packed planes variant requires 16 < k <= 32")
+    N = codes.shape[0]
+    G = GROUPS
+    RB = ROW_BLOCK
+    per = G * RB
+    Np = -(-N // per) * per
+    C = Np // per
+    pad = Np + 48  # ladder lookahead: max shift 16 + window tail
+    flat = jnp.full((pad,), jnp.uint32(4)).at[:N].set(codes.astype(jnp.uint32))
+    v = (flat < _u32(4)).astype(jnp.uint32)
+    cc = flat & _u32(3)
+    g = cc ^ _u32(3)
+
+    # doubling ladders to 16-code words (shift amounts are static)
+    be, le, vv = cc, g, v
+    m = 1
+    while m < 16:
+        be = (be << _u32(2 * m)) | jnp.concatenate(
+            [be[m:], jnp.zeros((m,), jnp.uint32)]
+        )
+        le = le | (
+            jnp.concatenate([le[m:], jnp.zeros((m,), jnp.uint32)]) << _u32(2 * m)
+        )
+        vv = vv & jnp.concatenate([vv[m:], jnp.ones((m,), jnp.uint32)])
+        m *= 2
+    # window validity for k: V16[p] & V_{k-16 decomposition}[p+16]
+    wv = vv
+    rem = k - 16
+    # V ladder taps for the remainder bits of k (XLA CSEs the shared
+    # prefix with the vv ladder above)
+    vlev = {1: v}
+    x = v
+    m = 1
+    while m < 16:
+        x = x & jnp.concatenate([x[m:], jnp.ones((m,), jnp.uint32)])
+        m *= 2
+        vlev[m] = x
+    off = 16
+    while rem > 0:
+        b = 1 << (rem.bit_length() - 1)
+        tap = vlev[b]
+        wv = wv & jnp.concatenate([tap[off:], jnp.ones((off,), jnp.uint32)])
+        off += b
+        rem -= b
+
+    def slabs(x):
+        return x[:Np].reshape(C * G, RB)
+
+    beb = jnp.concatenate([be[16:], jnp.zeros((16,), jnp.uint32)])
+    leb = jnp.concatenate([le[16:], jnp.zeros((16,), jnp.uint32)])
+
+    Z = np.int32(0)
+    call = pl.pallas_call(
+        partial(_packed_slab_kernel, k, noncanonical, seed),
+        grid=(C,),
+        out_shape=jax.ShapeDtypeStruct((C * 3 * G, RB), jnp.uint32),
+        in_specs=[pl.BlockSpec((G, RB), lambda i: (i, Z))] * 5,
+        out_specs=pl.BlockSpec((3 * G, RB), lambda i: (i, Z)),
+        interpret=interpret,
+    )
+    out = call(slabs(be), slabs(beb), slabs(le), slabs(leb), slabs(wv)).reshape(
+        C, 3 * G, RB
+    )
+    h1l = out[:, :G, :].reshape(Np)[:N]
+    h1h = out[:, G : 2 * G, :].reshape(Np)[:N]
+    vwin = out[:, 2 * G :, :].reshape(Np)[:N]
+    return h1l, h1h, vwin != 0
+
+
 @partial(jax.jit, static_argnames=("k", "noncanonical", "seed", "interpret"))
 def kmer_hashes_slab_pallas(
     codes: jax.Array,

@@ -65,6 +65,27 @@ def main() -> int:
 
             return bench, (codes, codes2), N
 
+        if mode == "hash_packed":
+            from fpmash_tpu.ops.kmers_pallas import kmer_hashes_packed_pallas_planes
+
+            codes = jnp.asarray(rng.integers(0, 4, size=N).astype(np.uint32))
+            codes2 = jnp.asarray(rng.integers(0, 4, size=N).astype(np.uint32))
+
+            @jax.jit
+            def bench(a, b):
+                t = jnp.uint32(0)
+                acc = jnp.uint32(0)
+                for _ in range(iters):
+                    cv = jnp.where(t > 0, b, a)
+                    h1l, h1h, vw = kmer_hashes_packed_pallas_planes(
+                        cv, k=21, seed=42
+                    )
+                    t = h1l[0] & jnp.uint32(1)
+                    acc = acc + jnp.sum(h1l, dtype=jnp.uint32)
+                return acc
+
+            return bench, (codes, codes2), N
+
         if mode == "fused":
             from fpmash_tpu.ops.kmers import classic_sketch_device
 

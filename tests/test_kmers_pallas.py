@@ -92,3 +92,37 @@ def test_classic_sketch_device_matches_split_path():
         assert np.array_equal(np.asarray(c1), np.asarray(c0))
     finally:
         kp.kmer_hashes_slab_pallas_planes = orig
+
+
+def test_packed_planes_matches_slab(monkeypatch):
+    """Packed-plane kmer kernel == slab kernel (h1 planes + validity),
+    incl. non-ACGT bytes and the N-boundary tail, at several k."""
+    import jax.numpy as jnp
+
+    from fpmash_tpu.ops.kmers_pallas import (
+        kmer_hashes_packed_pallas_planes,
+        kmer_hashes_slab_pallas_planes,
+    )
+
+    rng = np.random.default_rng(9)
+    N = 3000
+    codes = rng.integers(0, 4, size=N).astype(np.uint32)
+    codes[100:110] = 4  # invalid characters
+    for k in (17, 21, 32):
+        a = kmer_hashes_slab_pallas_planes(
+            jnp.asarray(codes), k=k, seed=42, interpret=True
+        )
+        b = kmer_hashes_packed_pallas_planes(
+            jnp.asarray(codes), k=k, seed=42, interpret=True
+        )
+        for x, y in zip(a, b):
+            assert np.array_equal(np.asarray(x), np.asarray(y)), k
+        # noncanonical too
+        a = kmer_hashes_slab_pallas_planes(
+            jnp.asarray(codes), k=k, seed=7, noncanonical=True, interpret=True
+        )
+        b = kmer_hashes_packed_pallas_planes(
+            jnp.asarray(codes), k=k, seed=7, noncanonical=True, interpret=True
+        )
+        for x, y in zip(a, b):
+            assert np.array_equal(np.asarray(x), np.asarray(y)), k
