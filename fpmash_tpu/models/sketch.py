@@ -407,9 +407,12 @@ class Sketch:
                             nwords=nw,
                             L=W,
                         )
+                        # fp-mode hashes are 32-bit (use64 False): fetch
+                        # only the low plane — halves the result download
                         h1, _, fac_count = shard_rows(
                             lambda wd, l: fingerprint_hashes_fused_words(
-                                wd, l, L=W, seed=p.seed
+                                wd, l, L=W, seed=p.seed,
+                                full64=bool(p.use64),
                             ),
                             (words, lengths),
                         )

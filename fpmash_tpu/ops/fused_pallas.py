@@ -598,7 +598,7 @@ def fingerprint_hashes_fused(
     )
 
 
-@partial(jax.jit, static_argnames=("L", "seed", "interpret", "variant"))
+@partial(jax.jit, static_argnames=("L", "seed", "interpret", "variant", "full64"))
 def fingerprint_hashes_fused_words(
     words: jax.Array,  # u32[B, ceil(L/16)] dna16-packed window words
     lengths: jax.Array,
@@ -607,6 +607,7 @@ def fingerprint_hashes_fused_words(
     seed: int = 42,
     interpret: bool = False,
     variant: str = "split",
+    full64: bool = True,
 ):
     """Pre-packed dna16 entry: identical to :func:`fingerprint_hashes_fused`
     with ``pack="dna16"`` fed u8 windows, but takes the packed words
@@ -618,7 +619,7 @@ def fingerprint_hashes_fused_words(
         raise ValueError("words entry supports the split variant only")
     return _fused_from_words(
         words, lengths, L=L, cpw_log2=4, bits_log2=1,
-        seed=seed, interpret=interpret, variant=variant,
+        seed=seed, interpret=interpret, variant=variant, full64=full64,
     )
 
 
@@ -659,7 +660,8 @@ def dna16_window_words(
 
 
 def _fused_from_words(
-    words, lengths, *, L, cpw_log2, bits_log2, seed, interpret, variant
+    words, lengths, *, L, cpw_log2, bits_log2, seed, interpret, variant,
+    full64=True,
 ):
     B = words.shape[0]
     cpw = 1 << cpw_log2
@@ -698,6 +700,10 @@ def _fused_from_words(
             interpret,
         )  # [C, 5G, R]
         comp = [out[:, i * G : (i + 1) * G, :].reshape(Bp) for i in range(5)]
+        if not full64:
+            # fp-mode hashes are 32-bit (alphabet^k < 2^32): return the
+            # low plane as u32 — halves the device->host result transfer
+            return comp[0][:B], None, comp[4][:B].astype(jnp.int32)
         h1 = comp[0][:B].astype(jnp.uint64) | (
             comp[1][:B].astype(jnp.uint64) << jnp.uint64(32)
         )

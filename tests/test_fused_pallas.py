@@ -250,3 +250,37 @@ def test_flat_stream_words_match_u8_packing():
     )
     assert np.array_equal(h1w, h1u)
     assert np.array_equal(fcw, fcu)
+
+
+def test_words_entry_u32_plane():
+    """full64=False returns the low 32-bit plane (fp-mode hashes are
+    32-bit), equal to the u64 result's low word."""
+    import jax
+    import jax.numpy as jnp
+
+    from fpmash_tpu.ops.fused_pallas import fingerprint_hashes_fused_words
+
+    rng = np.random.default_rng(5)
+    B, W = 16, 100
+    # pack random codes the same way the production ladder would
+    codes = rng.integers(0, 4, size=(B, W)).astype(np.uint32)
+    words = np.zeros((B, 7), np.uint32)
+    for b in range(B):
+        for w in range(7):
+            for m in range(16):
+                j = 16 * w + m
+                if j < W:
+                    words[b, w] |= codes[b, j] << (2 * m)
+    lens = np.full(B, W, np.int32)
+    h64, _, fc64 = jax.device_get(
+        fingerprint_hashes_fused_words(
+            jnp.asarray(words), jnp.asarray(lens), L=W, seed=42, interpret=True
+        )
+    )
+    h32, none, fc32 = fingerprint_hashes_fused_words(
+        jnp.asarray(words), jnp.asarray(lens), L=W, seed=42, interpret=True,
+        full64=False,
+    )
+    assert none is None
+    assert np.array_equal(np.asarray(h32), (h64 & 0xFFFFFFFF).astype(np.uint32))
+    assert np.array_equal(np.asarray(fc32), fc64)
