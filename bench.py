@@ -281,7 +281,7 @@ def _bench_kmer(Nseq: int = 1 << 22, k: int = 21):
 
     from fpmash_tpu.ops.bottomk import bottom_k_threshold_planes
     from fpmash_tpu.ops.kmers import classic_sketch_device
-    from fpmash_tpu.ops.kmers_pallas import kmer_hashes_slab_pallas_planes
+    from fpmash_tpu.ops.kmers_pallas import kmer_hashes_route_planes
 
     rng = np.random.default_rng(2)
     lut = np.frombuffer(b"ACGT", dtype=np.uint8)
@@ -303,7 +303,7 @@ def _bench_kmer(Nseq: int = 1 << 22, k: int = 21):
             acc = jnp.uint32(0)
             for _ in range(iters):
                 cv = jnp.where(t > 0, codes2, codes)
-                h1l, h1h, vw = kmer_hashes_slab_pallas_planes(cv, k=k, seed=42)
+                h1l, h1h, vw = kmer_hashes_route_planes(cv, k=k, seed=42)
                 t = h1l[0] & jnp.uint32(1)
                 acc = acc + jnp.sum(h1l, dtype=jnp.uint32)
             return acc

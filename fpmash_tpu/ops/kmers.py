@@ -351,7 +351,7 @@ def classic_sketch_device(
     kmer_hashes + bottom_k_threshold elsewhere.
     """
     from fpmash_tpu.ops.bottomk import bottom_k_threshold_planes
-    from fpmash_tpu.ops.kmers_pallas import kmer_hashes_slab_pallas_planes
+    from fpmash_tpu.ops.kmers_pallas import kmer_hashes_route_planes
 
     N = seq.shape[0]
     sequ = seq.astype(jnp.uint8)
@@ -361,7 +361,7 @@ def classic_sketch_device(
     code = jnp.full((N,), 4, jnp.uint32)
     for v, ch in enumerate(b"ACGT"):
         code = jnp.where(sequ == jnp.uint8(ch), jnp.uint32(v), code)
-    h1l, h1h, vw = kmer_hashes_slab_pallas_planes(
+    h1l, h1h, vw = kmer_hashes_route_planes(
         code, k=k, noncanonical=noncanonical, seed=seed
     )
     pos = jnp.arange(N, dtype=jnp.int32)

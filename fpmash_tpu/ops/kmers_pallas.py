@@ -622,6 +622,25 @@ def kmer_hashes_packed_pallas_planes(
     return h1l, h1h, vwin != 0
 
 
+def kmer_hashes_route_planes(
+    codes: jax.Array,
+    *,
+    k: int,
+    noncanonical: bool = False,
+    seed: int = 42,
+    interpret: bool = False,
+):
+    """Production route: the packed-plane kernel for 16 < k <= 32 (1.42x
+    the slab kernel on chip, 2325 vs 1633 Mbases/s at N=8M), the slab
+    kernel otherwise.  Same contract as the variants."""
+    fn = (
+        kmer_hashes_packed_pallas_planes
+        if 16 < k <= 32
+        else kmer_hashes_slab_pallas_planes
+    )
+    return fn(codes, k=k, noncanonical=noncanonical, seed=seed, interpret=interpret)
+
+
 @partial(jax.jit, static_argnames=("k", "noncanonical", "seed", "interpret"))
 def kmer_hashes_slab_pallas(
     codes: jax.Array,
@@ -631,9 +650,9 @@ def kmer_hashes_slab_pallas(
     seed: int = 42,
     interpret: bool = False,
 ):
-    """u64 wrapper over the slab kernel (for callers that need combined
+    """u64 wrapper over the routed kernel (for callers that need combined
     hashes; the combine is one u64-wide pass — planes callers avoid it)."""
-    h1l, h1h, vw = kmer_hashes_slab_pallas_planes(
+    h1l, h1h, vw = kmer_hashes_route_planes(
         codes, k=k, noncanonical=noncanonical, seed=seed, interpret=interpret
     )
     return h1l.astype(jnp.uint64) | (h1h.astype(jnp.uint64) << jnp.uint64(32)), vw

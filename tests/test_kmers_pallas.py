@@ -71,15 +71,20 @@ def test_classic_sketch_device_matches_split_path():
     from fpmash_tpu.ops.bottomk import bottom_k_threshold
     from fpmash_tpu.ops.kmers import _kmer_hashes_acgt, classic_sketch_device
 
-    orig = kp.kmer_hashes_slab_pallas_planes
-    kp.kmer_hashes_slab_pallas_planes = functools.partial(orig, interpret=True)
+    orig = kp.kmer_hashes_packed_pallas_planes
+    # NB: functools.partial keywords would be overridden by the route's
+    # explicit interpret=False — force it in a wrapper instead
+    kp.kmer_hashes_packed_pallas_planes = lambda *a, **kw: orig(
+        *a, **{**kw, "interpret": True}
+    )
     try:
         rng = np.random.default_rng(2)
         chars = np.frombuffer(b"ACGTacgtN", np.uint8)
         seq = chars[rng.integers(0, len(chars), 3000)]
         ln = 2900
         v1, c1, n1, ok1 = classic_sketch_device(
-            jnp.asarray(seq), jnp.int32(ln), k=21, s=100, seed=42
+            jnp.asarray(seq), jnp.int32(ln), k=21, s=100, seed=42,
+            need_counts=True,
         )
         h, valid = _kmer_hashes_acgt(
             jnp.asarray(seq), jnp.int32(ln), k=21, noncanonical=False,
@@ -91,7 +96,7 @@ def test_classic_sketch_device_matches_split_path():
         assert np.array_equal(np.asarray(v1), np.asarray(v0))
         assert np.array_equal(np.asarray(c1), np.asarray(c0))
     finally:
-        kp.kmer_hashes_slab_pallas_planes = orig
+        kp.kmer_hashes_packed_pallas_planes = orig
 
 
 def test_packed_planes_matches_slab(monkeypatch):
