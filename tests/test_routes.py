@@ -185,3 +185,43 @@ def test_compare_route_selects_pallas_on_tpu(monkeypatch):
     rl = jnp.full((8,), S, jnp.int32)
     tile_common_denom(ref, rl, ref, rl, sketch_size=S)
     assert calls == [S], "TPU backend did not select the pallas compare tile"
+
+
+def test_direct_fp_flat_stream_route(monkeypatch):
+    """On a TPU backend, eligible --direct-fp input (CFL, shift, pure
+    DNA, all reads >= 100) takes the flat-stream route (reads shipped
+    once + device window-word gather) and its sketches are bit-identical
+    to the CPU XLA pipeline's."""
+    import functools
+
+    from fpmash_tpu.models.sketch import Sketch, SketchParams
+    from fpmash_tpu.ops import fused_pallas as fp
+
+    rng = np.random.default_rng(31)
+    reads = [
+        (f"r{i}", "".join("ACGT"[c] for c in rng.integers(0, 4, size=n)))
+        for i, n in enumerate((120, 215, 101))
+    ]
+    ref = Sketch(SketchParams().for_fingerprint())
+    ref.init_from_reads_fingerprint(list(reads), "CFL", shift=True)
+
+    monkeypatch.setenv("FPMASH_DEVICES", "1")
+    _mock_tpu(monkeypatch)
+    calls = []
+    orig = fp.fingerprint_hashes_fused_words
+
+    def spy(*a, **kw):
+        calls.append(kw.get("full64"))
+        return orig(*a, **{**kw, "interpret": True})
+
+    monkeypatch.setattr(fp, "fingerprint_hashes_fused_words", spy)
+    got = Sketch(SketchParams().for_fingerprint())
+    got.init_from_reads_fingerprint(list(reads), "CFL", shift=True)
+
+    assert calls == [False], "flat-stream route not taken on TPU backend"
+    assert len(got.references) == len(ref.references)
+    for a, b in zip(got.references, ref.references):
+        assert a.name == b.name and a.length == b.length
+        assert np.array_equal(
+            np.asarray(a.hashes, np.uint64), np.asarray(b.hashes, np.uint64)
+        )
