@@ -109,6 +109,43 @@ def main() -> int:
 
             return bench, (seq, seq2), N
 
+        if mode == "fused_nobk":
+            # classic pipeline MINUS bottom-k: byte->code map, routed hash
+            # kernel, validity, and a sum consumer — isolates how much of
+            # the fused time is the bk stage vs everything before it
+            from fpmash_tpu.ops.kmers_pallas import kmer_hashes_route_planes
+
+            lut = np.frombuffer(b"ACGT", dtype=np.uint8)
+            seq = jnp.asarray(lut[rng.integers(0, 4, size=N)])
+            seq2 = jnp.asarray(lut[rng.integers(0, 4, size=N)])
+            length = jnp.int32(N)
+
+            @jax.jit
+            def bench(a, b):
+                t = jnp.uint8(0)
+                acc = jnp.uint32(0)
+                for _ in range(iters):
+                    sv = jnp.where(t > 0, b, a)
+                    sequ = sv.astype(jnp.uint8)
+                    lower = (sequ > 96) & (sequ < 123)
+                    sequ = jnp.where(lower, sequ - 32, sequ)
+                    code = jnp.full((N,), 4, jnp.uint32)
+                    for v, ch in enumerate(b"ACGT"):
+                        code = jnp.where(sequ == jnp.uint8(ch), jnp.uint32(v), code)
+                    h1l, h1h, vw = kmer_hashes_route_planes(code, k=21, seed=42)
+                    pos = jnp.arange(N, dtype=jnp.int32)
+                    valid = vw & (pos <= length - 21)
+                    t = (h1l[0] & jnp.uint32(1)).astype(jnp.uint8)
+                    acc = (
+                        acc
+                        + jnp.sum(h1l, dtype=jnp.uint32)
+                        + jnp.sum(h1h, dtype=jnp.uint32)
+                        + jnp.sum(valid.astype(jnp.uint32), dtype=jnp.uint32)
+                    )
+                return acc
+
+            return bench, (seq, seq2), N
+
         if mode == "fp":
             from fpmash_tpu.ops.fused_pallas import fingerprint_hashes_fused
 
