@@ -31,14 +31,13 @@ _U64MAX = jnp.uint64(0xFFFFFFFFFFFFFFFF)
 def _sort_planes_flat(hi, lo):
     """Full ascending sort of a flat (hi, lo) u32-pair array.
 
-    Tested alternative to a flat ``lax.sort`` (kept for reference with
-    its parity test): sorts [R, 1024] rows batched and merges pairs of
-    sorted rows with a bitonic MERGE network (ascending ++ descending
-    reshaped min/max — the same trick as ops/compare.py).  Measured
-    SLOWER than the flat sort inside the fused classic pipeline on chip
-    (0.159 vs 0.194 Gbases/s) — the merge rounds' many small XLA ops
-    outweigh the flat sort at candidate scale — so production uses
-    ``lax.sort`` directly.
+    Sorts [R, 1024] rows batched and merges pairs of sorted rows with a
+    bitonic MERGE network (ascending ++ descending reshaped min/max —
+    the same trick as ops/compare.py).  PRODUCTION candidate sort for
+    the threshold bottom-k: 613 vs 470 Mbases/s against the flat
+    two-key ``lax.sort`` (exp_bk_sort_r4 interleaved slope A/B on chip;
+    round 3 had it backwards off relay-floored timings).  Shapes not
+    divisible into [R, 1024] rows fall back to the flat sort.
     """
     n = hi.shape[0]
     C0 = 1024
@@ -178,11 +177,11 @@ def bottom_k_threshold_planes(
     compaction_ok = ~row_overflow & (prefix_count == m)
 
     # run-length over the sorted candidates (planes throughout).
-    # NB: replacing this flat sort with _sort_planes_flat's batched
-    # row-sort + bitonic merge measured SLOWER end to end on chip
-    # (0.159 vs 0.194 Gbases/s fused) — the merge network's many small
-    # XLA ops cost more than the flat sort at 32k candidates.
-    chi, clo = jax.lax.sort((chi, clo), num_keys=2)
+    # _sort_planes_flat (batched [R, 1024] row sorts + bitonic merge)
+    # beats the flat two-key lax.sort 613 vs 470 Mbases/s on the full
+    # bottom-k (exp_bk_sort_r4, interleaved slope A/B) — round 3 had
+    # rejected it on relay-floored single-point timings.
+    chi, clo = _sort_planes_flat(chi, clo)
     neq = (chi[1:] != chi[:-1]) | (clo[1:] != clo[:-1])
     is_boundary = jnp.concatenate([jnp.array([True]), neq])
     is_start = is_boundary & ~((chi == U32MAX) & (clo == U32MAX))
