@@ -29,6 +29,10 @@ from fpmash_tpu.utils.trace import trace
 #: global fingerprint line cap across all files (Sketch.cpp:37,82)
 LIMIT_READ_FINGERPRINT = 1_000_000
 
+#: chunk size (bases) for the fused direct classic sketch route
+#: (tests shrink it to exercise the multi-chunk merge)
+_DIRECT_CHUNK = 1 << 24
+
 
 @dataclass
 class SketchParams:
@@ -574,10 +578,15 @@ class Sketch:
                         break
                 count = used
             else:
-                with trace("kmer-hash", bases=total_len):
-                    hashes = _kmer_hash_pool(pools, p, backend)
-                with trace("bottom-k", pool=len(hashes)):
-                    values, counts = _bottom_k(hashes, p, backend)
+                direct = _classic_sketch_direct(pools, p, backend)
+                if direct is not None:
+                    with trace("classic-direct", bases=total_len):
+                        values, counts = direct
+                else:
+                    with trace("kmer-hash", bases=total_len):
+                        hashes = _kmer_hash_pool(pools, p, backend)
+                    with trace("bottom-k", pool=len(hashes)):
+                        values, counts = _bottom_k(hashes, p, backend)
             if p.reads:
                 # reads mode stores the cardinality estimate as "length"
                 # (sketchFile, Sketch.cpp:1425-1436): genome size if given,
@@ -609,8 +618,12 @@ class Sketch:
             for rname, rcomment, seq in records:
                 if len(seq) < p.kmer_size:
                     continue
-                hashes = _kmer_hash_pool([seq], p, backend)
-                values, counts = _bottom_k(hashes, p, backend)
+                direct = _classic_sketch_direct([seq], p, backend)
+                if direct is not None:
+                    values, counts = direct
+                else:
+                    hashes = _kmer_hash_pool([seq], p, backend)
+                    values, counts = _bottom_k(hashes, p, backend)
                 self.references.append(
                     Reference(
                         name=name or rname,
@@ -830,6 +843,117 @@ def _round_up_pow2(n: int, floor: int = 1024) -> int:
     while m < n:
         m *= 2
     return m
+
+
+def _classic_sketch_direct(seqs: list[str], p: SketchParams, backend: str):
+    """Fused on-device classic sketch: sequences -> bottom-k in one
+    dispatch per chunk, only ``s``-sized results ever leaving the device.
+
+    The pool path (:func:`_kmer_hash_pool` + :func:`_bottom_k`) downloads
+    the ENTIRE hash pool to the host and re-uploads it — 16 B/base of
+    PCIe/relay traffic that dwarfs compute at genome scale.  This route
+    runs :func:`fpmash_tpu.ops.kmers.classic_sketch_device` on 16-Mbase
+    chunks and merges the per-chunk bottom-k host-side.
+
+    The merge is EXACT: if value v is in the global bottom-s distinct
+    set, then in every chunk where v occurs the chunk-local distinct
+    values below v are a subset of the global ones (< s of them), so v
+    is in that chunk's bottom-s with its full local count — values union
+    and counts sum.  ``min_cov`` filtering therefore applies only AFTER
+    the merge (chunks must not pre-filter); multi-chunk inputs with
+    min_cov > 1 could still under-collect per chunk (count-1 values
+    crowd the chunk's s slots), so they fall back to the pool path.
+
+    Returns ``(values, counts)`` or ``None`` when ineligible (CPU
+    backend, non-ACGT alphabet, k outside (16, 32], multi-device, or an
+    under-collected threshold at max boost).
+    """
+    import jax
+
+    if not seqs:
+        return None
+    if backend == "scalar" or jax.default_backend() == "cpu":
+        return None
+    if set(p.alphabet) != set("ACGT") or not (16 < p.kmer_size <= 32):
+        return None
+    if not p.use64:  # 4^k > 2^32 holds for k > 16, but stay explicit
+        return None
+    from fpmash_tpu.parallel.sharded import visible_device_count
+
+    if visible_device_count() > 1:
+        # the pool path shards chunk rows across devices; keep it for
+        # multi-chip runs until the direct route round-robins chunks
+        return None
+
+    import jax.numpy as jnp
+
+    from fpmash_tpu.ops.kmers import classic_sketch_device
+
+    k = p.kmer_size
+    sep = b"\x00" * (k - 1)
+    blob = sep.join(
+        s.encode("ascii", "replace") if isinstance(s, str) else bytes(s)
+        for s in seqs
+    )
+    n = len(blob)
+    if n < 4096:
+        return None  # not worth a dispatch
+    CHUNK = _DIRECT_CHUNK
+    size = CHUNK if n > (CHUNK >> 2) else _round_up_pow2(n, 4096)
+    step = size - (k - 1)
+    starts = list(range(0, n, step))
+    if len(starts) > 1 and p.min_cov > 1:
+        return None
+    need_counts = bool(p.counts or p.min_cov > 1 or p.target_cov > 0)
+
+    vals_all = []
+    counts_all = []
+    for pos in starts:
+        end = min(pos + size, n)
+        buf = np.zeros(size, np.uint8)
+        buf[: end - pos] = np.frombuffer(blob[pos:end], np.uint8)
+        # windows starting in the k-1 overlap belong to the next chunk
+        length = (end - pos) if end == n else (step + k - 1)
+        got = None
+        for boost in (1, 8):
+            values, counts, nv, ok = classic_sketch_device(
+                jnp.asarray(buf),
+                jnp.int32(length),
+                k=k,
+                s=p.sketch_size,
+                noncanonical=p.noncanonical,
+                preserve_case=p.preserve_case,
+                seed=p.seed,
+                min_cov=1,
+                boost=boost,
+                need_counts=need_counts,
+            )
+            if bool(ok):
+                got = (np.asarray(values), np.asarray(counts), int(nv))
+                break
+        if got is None:
+            return None  # pathological distribution: pool path is exact
+        v, c, nv = got
+        vals_all.append(v[:nv])
+        counts_all.append(c[:nv])
+
+    v = np.concatenate(vals_all)
+    c = np.concatenate(counts_all).astype(np.uint64)
+    order = np.argsort(v, kind="stable")
+    v, c = v[order], c[order]
+    is_start = np.concatenate([[True], v[1:] != v[:-1]])
+    grp = np.cumsum(is_start) - 1
+    csum = np.zeros(int(grp[-1]) + 1 if len(grp) else 0, np.uint64)
+    np.add.at(csum, grp, c)
+    vals = v[is_start]
+    if not need_counts:
+        # per-chunk counts were 1-filled (nothing consumes them); keep
+        # the same contract after the merge instead of chunk-presence
+        # tallies
+        csum = np.ones_like(csum)
+    keep = csum >= p.min_cov
+    vals, csum = vals[keep], csum[keep]
+    return vals[: p.sketch_size], csum[: p.sketch_size].astype(np.uint32)
 
 
 def _kmer_hash_pool(seqs: list[str], p: SketchParams, backend: str) -> np.ndarray:

@@ -225,3 +225,48 @@ def test_direct_fp_flat_stream_route(monkeypatch):
         assert np.array_equal(
             np.asarray(a.hashes, np.uint64), np.asarray(b.hashes, np.uint64)
         )
+
+
+def test_classic_direct_route_multichunk(monkeypatch):
+    """The fused direct classic route (chunked classic_sketch_device +
+    host-side bottom-k merge) produces the identical sketch to the pool
+    path, including across chunk boundaries and with duplicate k-mers."""
+    import functools
+
+    from fpmash_tpu.models import sketch as sk
+    from fpmash_tpu.ops import kmers_pallas as kp
+
+    rng = np.random.default_rng(41)
+    seq = "".join("ACGT"[c] for c in rng.integers(0, 4, size=20000))
+    seq = seq[:5000] + seq[:5000] + seq[10000:]  # duplicated region
+    p = sk.SketchParams(kmer_size=21, sketch_size=64)
+
+    want = sk._kmer_hash_pool([seq], p, "auto")
+    from fpmash_tpu.ops.bottomk import bottom_k_host
+
+    wv, wc = bottom_k_host(want, 64)
+
+    monkeypatch.setenv("FPMASH_DEVICES", "1")
+    _mock_tpu(monkeypatch)
+    monkeypatch.setattr(sk, "_DIRECT_CHUNK", 8192)  # forces 3+ chunks
+    orig = kp.kmer_hashes_packed_pallas_planes
+    monkeypatch.setattr(
+        kp,
+        "kmer_hashes_packed_pallas_planes",
+        lambda *a, **kw: orig(*a, **{**kw, "interpret": True}),
+    )
+    got = sk._classic_sketch_direct([seq], p, "auto")
+    assert got is not None, "direct route not taken"
+    gv, gc = got
+    assert np.array_equal(gv, wv)
+    assert (gc == 1).all()  # multiplicities unused -> ones contract
+
+    # with -M the counts are consumed: exact multiplicities must merge
+    # across chunks (the duplicated region's k-mers have count 2 split
+    # between chunks)
+    p2 = sk.SketchParams(kmer_size=21, sketch_size=64, counts=True)
+    got2 = sk._classic_sketch_direct([seq], p2, "auto")
+    assert got2 is not None
+    gv2, gc2 = got2
+    assert np.array_equal(gv2, wv)
+    assert np.array_equal(gc2.astype(np.uint32), wc)
