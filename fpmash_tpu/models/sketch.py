@@ -896,10 +896,16 @@ def _classic_sketch_direct(seqs: list[str], p: SketchParams, backend: str):
         for s in seqs
     )
     n = len(blob)
-    if n < 4096:
-        return None  # not worth a dispatch
-    CHUNK = _DIRECT_CHUNK
-    size = CHUNK if n > (CHUNK >> 2) else _round_up_pow2(n, 4096)
+    # below ~CHUNK/16 bases the pool path moves less data than one padded
+    # chunk upload
+    if n < max(4096, _DIRECT_CHUNK >> 4):
+        return None
+    # ONE fixed chunk shape, always: the axon relay corrupts re-execution
+    # of a program that was compiled at a second shape (shape A exec ->
+    # shape B exec -> shape B re-exec fails InvalidArgument; repro
+    # /tmp/repro_direct2.py 2026-08-21), so the direct route never
+    # creates a second executable shape
+    size = _DIRECT_CHUNK
     step = size - (k - 1)
     starts = list(range(0, n, step))
     if len(starts) > 1 and p.min_cov > 1:
@@ -915,22 +921,31 @@ def _classic_sketch_direct(seqs: list[str], p: SketchParams, backend: str):
         # windows starting in the k-1 overlap belong to the next chunk
         length = (end - pos) if end == n else (step + k - 1)
         got = None
-        for boost in (1, 8):
-            values, counts, nv, ok = classic_sketch_device(
-                jnp.asarray(buf),
-                jnp.int32(length),
-                k=k,
-                s=p.sketch_size,
-                noncanonical=p.noncanonical,
-                preserve_case=p.preserve_case,
-                seed=p.seed,
-                min_cov=1,
-                boost=boost,
-                need_counts=need_counts,
+        try:
+            for boost in (1, 8):
+                values, counts, nv, ok = classic_sketch_device(
+                    jnp.asarray(buf),
+                    jnp.int32(length),
+                    k=k,
+                    s=p.sketch_size,
+                    noncanonical=p.noncanonical,
+                    preserve_case=p.preserve_case,
+                    seed=p.seed,
+                    min_cov=1,
+                    boost=boost,
+                    need_counts=need_counts,
+                )
+                if bool(ok):
+                    got = (np.asarray(values), np.asarray(counts), int(nv))
+                    break
+        except Exception as e:
+            from fpmash_tpu.utils.trace import warn
+
+            warn(
+                f"sketch: direct classic route failed at run time "
+                f"({type(e).__name__}), falling back to the pool path"
             )
-            if bool(ok):
-                got = (np.asarray(values), np.asarray(counts), int(nv))
-                break
+            return None
         if got is None:
             return None  # pathological distribution: pool path is exact
         v, c, nv = got

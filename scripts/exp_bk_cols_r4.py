@@ -44,7 +44,7 @@ def main():
         vals64 = (chi[out_idx].astype(jnp.uint64) << jnp.uint64(32)) | clo[out_idx].astype(jnp.uint64)
         return jnp.where(opad, _U64MAX, vals64)
 
-    CFG = [(1024, 16), (512, 12), (256, 10), (128, 8)]
+    CFG = [(1024, 16), (2048, 24), (4096, 40), (8192, 72)]
 
     def make(cols, P, iters):
         @jax.jit

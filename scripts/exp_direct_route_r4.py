@@ -15,21 +15,22 @@ def main():
     from fpmash_tpu.models import sketch as sk
 
     print(f"backend={jax.default_backend()}", flush=True)
+    sk._DIRECT_CHUNK = 1 << 24
     rng = np.random.default_rng(3)
-    seq = "".join("ACGT"[c] for c in rng.integers(0, 4, size=200_000))
+    seq = "".join("ACGT"[c] for c in rng.integers(0, 4, size=2_000_000))
     p = sk.SketchParams()
 
     t0 = time.perf_counter()
     direct = sk._classic_sketch_direct([seq], p, "auto")
     print(f"direct route taken: {direct is not None} "
           f"({time.perf_counter()-t0:.1f}s)", flush=True)
-    want = sk._kmer_hash_pool_scalar([seq], p)
+    want = sk._kmer_hash_pool([seq], p, "auto")
     from fpmash_tpu.ops.bottomk import bottom_k_host
 
     wv, wc = bottom_k_host(want, p.sketch_size)
     gv, gc = direct
     ok = np.array_equal(gv, wv)
-    print(f"parity vs scalar: {'OK' if ok else 'MISMATCH'}", flush=True)
+    print(f"parity vs pool path: {'OK' if ok else 'MISMATCH'}", flush=True)
 
     big = "".join("ACGT"[c] for c in rng.integers(0, 4, size=8_000_000))
     s1 = sk.Sketch(p)
