@@ -161,7 +161,15 @@ def bottom_k_threshold_planes(
     mask = valid & (hi <= t_hi) & ~pad
     m = jnp.sum(mask.astype(jnp.int64))
 
-    cols = 1024 if N % 1024 == 0 else 1
+    # row width 4096 is the sweep optimum on chip (exp_bk_cols_r4:
+    # 611/697/728/702 M for 1024/2048/4096/8192 at N=4M) — XLA's batched
+    # row sort amortizes better with wider rows until ~8k
+    if N % 4096 == 0:
+        cols = 4096
+    elif N % 1024 == 0:
+        cols = 1024
+    else:
+        cols = 1
     C = N // cols
     P = min(cols, max(16, -(-32 * s // max(C, 1))))
     ylo = jnp.where(mask, lo, U32MAX).reshape(C, cols)
