@@ -157,6 +157,10 @@ def main() -> int:
             extra["e2e_host_parse_frac"] = round(parse_frac, 3)
         except Exception as e:  # pragma: no cover
             extra["e2e_error"] = type(e).__name__
+        try:
+            extra["e2e_classic_bases_per_s"] = round(_bench_e2e_classic())
+        except Exception as e:  # pragma: no cover
+            extra["e2e_classic_error"] = type(e).__name__
         if _CONSTS:
             extra["relay_const_ms"] = round(1e3 * float(np.median(_CONSTS)), 1)
 
@@ -413,6 +417,40 @@ def _bench_e2e_cli(n_reads: int = 256, read_len: int = 2000):
 
     total_bases = 2 * n_reads * read_len
     return total_bases / wall, parse_t / wall
+
+
+def _bench_e2e_classic(n_bases: int = 8_000_000):
+    """Wall clock of a classic `sketch` through the CLI surface on an
+    8-Mbase generated FASTA (k=21, s=1000): FASTA parse, the fused
+    direct device route (one padded chunk up, s-sized result down), and
+    the .msh write.  Warm run timed (run 1 compiles)."""
+    import contextlib
+    import io
+    import os
+    import tempfile
+
+    from fpmash_tpu.cli import main as cli_main
+
+    rng = np.random.default_rng(9)
+    lut = np.frombuffer(b"ACGT", dtype=np.uint8)
+    with tempfile.TemporaryDirectory() as td:
+        fa = os.path.join(td, "g.fasta")
+        with open(fa, "w") as f:
+            f.write(">g synthetic\n")
+            seq = lut[rng.integers(0, 4, size=n_bases)].tobytes().decode()
+            for i in range(0, n_bases, 80):
+                f.write(seq[i : i + 80] + "\n")
+
+        def run(tag):
+            with contextlib.redirect_stdout(io.StringIO()), contextlib.redirect_stderr(
+                io.StringIO()
+            ):
+                assert cli_main(["sketch", fa, "-o", os.path.join(td, tag)]) == 0
+
+        run("w")  # compile/warm
+        t0 = time.perf_counter()
+        run("t")
+        return n_bases / (time.perf_counter() - t0)
 
 
 if __name__ == "__main__":
