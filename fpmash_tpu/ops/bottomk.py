@@ -228,6 +228,83 @@ def bottom_k_threshold_planes(
     return values, counts, n, ok
 
 
+@partial(jax.jit, static_argnames=("s", "min_cov", "need_counts"))
+def bottom_k_premasked_planes(
+    lo: jax.Array,  # u32[N], U32MAX on BOTH planes marks a dropped lane
+    hi: jax.Array,  # u32[N]
+    all_taken: jax.Array,  # bool scalar: the threshold was saturated
+    *,
+    s: int,
+    min_cov: int = 1,
+    need_counts: bool = True,
+):
+    """Threshold bottom-k over planes the producer already masked (the
+    threshold-fused hash kernel writes U32MAX to every lane that is
+    invalid, past the sequence end, or above t_hi) — starts directly at
+    the row-sort compaction, skipping the mask/where passes.
+
+    Same returns and ``ok`` contract as
+    :func:`bottom_k_threshold_planes`; the caller owns the threshold
+    (and its ``boost`` retries) and passes ``all_taken`` = saturation.
+    """
+    U32MAX = jnp.uint32(0xFFFFFFFF)
+    N = lo.shape[0]
+    pad = (lo == U32MAX) & (hi == U32MAX)
+    m = jnp.sum((~pad).astype(jnp.int64))
+
+    if N % 4096 == 0:
+        cols = 4096
+    elif N % 1024 == 0:
+        cols = 1024
+    else:
+        cols = 1
+    C = N // cols
+    P = min(cols, max(16, -(-32 * s // max(C, 1))))
+    ylo = lo.reshape(C, cols)
+    yhi = hi.reshape(C, cols)
+    yhi, ylo = jax.lax.sort((yhi, ylo), num_keys=1)
+    row_counts = jnp.sum((~pad).reshape(C, cols).astype(jnp.int32), axis=1)
+    row_overflow = jnp.max(row_counts) > P
+    chi = yhi[:, :P].reshape(C * P)
+    clo = ylo[:, :P].reshape(C * P)
+    cap = C * P
+    cpad = (chi == U32MAX) & (clo == U32MAX)
+    prefix_count = jnp.sum((~cpad).astype(jnp.int64))
+    compaction_ok = ~row_overflow & (prefix_count == m)
+
+    chi, clo = _sort_planes_flat(chi, clo)
+    neq = (chi[1:] != chi[:-1]) | (clo[1:] != clo[:-1])
+    is_boundary = jnp.concatenate([jnp.array([True]), neq])
+    is_start = is_boundary & ~((chi == U32MAX) & (clo == U32MAX))
+    if need_counts or min_cov > 1:
+        idx_arr = jnp.arange(cap, dtype=jnp.int32)
+        boundary_or_inf = jnp.where(is_boundary, idx_arr, cap)
+        nxt = jax.lax.cummin(boundary_or_inf[::-1])[::-1]
+        nxt = jnp.concatenate([nxt[1:], jnp.array([cap], jnp.int32)])
+        run_count = jnp.where(is_start, nxt - idx_arr, 0).astype(jnp.uint32)
+        eligible = is_start & (run_count >= min_cov)
+    else:
+        run_count = None
+        eligible = is_start
+    n_eligible = jnp.sum(eligible.astype(jnp.int32))
+
+    out_idx = jnp.nonzero(eligible, size=s, fill_value=cap)[0]
+    opad = out_idx >= cap
+    out_idx = jnp.minimum(out_idx, cap - 1)
+    vals64 = (chi[out_idx].astype(jnp.uint64) << jnp.uint64(32)) | clo[
+        out_idx
+    ].astype(jnp.uint64)
+    values = jnp.where(opad, _U64MAX, vals64)
+    counts = jnp.where(
+        opad,
+        jnp.uint32(0),
+        run_count[out_idx] if run_count is not None else jnp.uint32(1),
+    )
+    n = jnp.sum(~opad).astype(jnp.uint32)
+    ok = compaction_ok & ((n_eligible >= s) | all_taken)
+    return values, counts, n, ok
+
+
 @partial(jax.jit, static_argnames=("s", "min_cov", "boost", "need_counts"))
 def bottom_k_threshold(
     hashes: jax.Array,

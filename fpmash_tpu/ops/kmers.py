@@ -350,8 +350,14 @@ def classic_sketch_device(
     TPU-only (the Pallas route); callers fall back to
     kmer_hashes + bottom_k_threshold elsewhere.
     """
-    from fpmash_tpu.ops.bottomk import bottom_k_threshold_planes
-    from fpmash_tpu.ops.kmers_pallas import kmer_hashes_route_planes
+    from fpmash_tpu.ops.bottomk import (
+        bottom_k_premasked_planes,
+        bottom_k_threshold_planes,
+    )
+    from fpmash_tpu.ops.kmers_pallas import (
+        kmer_hashes_packed_masked_planes,
+        kmer_hashes_route_planes,
+    )
 
     N = seq.shape[0]
     sequ = seq.astype(jnp.uint8)
@@ -361,15 +367,34 @@ def classic_sketch_device(
     code = jnp.full((N,), 4, jnp.uint32)
     for v, ch in enumerate(b"ACGT"):
         code = jnp.where(sequ == jnp.uint8(ch), jnp.uint32(v), code)
+    if need_counts is None:
+        # default CLI sketching consumes no multiplicities; reads mode
+        # (min_cov/-M/-c) asks for them explicitly
+        need_counts = min_cov > 1
+    if 16 < k <= 32:
+        # threshold-fused route: the packed hash kernel pre-masks its
+        # output planes (invalid / past-end / above-threshold lanes hold
+        # U32MAX), so bottom-k starts at its compaction directly.  The
+        # threshold uses the all-valid estimate n ~= length - k + 1;
+        # inputs with many invalid characters may under-collect, which
+        # the ok flag reports and the caller's boost retry covers.
+        n_est = jnp.maximum(length.astype(jnp.float32) - (k - 1), 1.0)
+        frac = jnp.minimum((8.0 * s * boost) / n_est, 1.0)
+        sat = frac >= 1.0
+        t_hi = jnp.where(
+            sat, jnp.uint32(0xFFFFFFFF), (frac * float(2**32)).astype(jnp.uint32)
+        )
+        mlo, mhi = kmer_hashes_packed_masked_planes(
+            code, t_hi, length, k=k, noncanonical=noncanonical, seed=seed
+        )
+        return bottom_k_premasked_planes(
+            mlo, mhi, sat, s=s, min_cov=min_cov, need_counts=need_counts
+        )
     h1l, h1h, vw = kmer_hashes_route_planes(
         code, k=k, noncanonical=noncanonical, seed=seed
     )
     pos = jnp.arange(N, dtype=jnp.int32)
     valid = vw & (pos <= length.astype(jnp.int32) - k)
-    if need_counts is None:
-        # default CLI sketching consumes no multiplicities; reads mode
-        # (min_cov/-M/-c) asks for them explicitly
-        need_counts = min_cov > 1
     return bottom_k_threshold_planes(
         h1l, h1h, valid, s=s, min_cov=min_cov, boost=boost,
         need_counts=need_counts,

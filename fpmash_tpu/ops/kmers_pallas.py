@@ -535,6 +535,138 @@ def _packed_slab_kernel(k: int, noncanonical: bool, seed: int,
     out_ref[2 * G : 3 * G, :] = wv_ref[:]
 
 
+def _packed_slab_masked_kernel(k: int, noncanonical: bool, seed: int,
+                               t_ref, len_ref, bea_ref, beb_ref, lea_ref,
+                               leb_ref, wv_ref, out_ref):
+    """Threshold-fused variant of :func:`_packed_slab_kernel`: emits the
+    hash planes PRE-MASKED (lanes that are invalid, beyond the sequence
+    end, or above the bottom-k threshold write U32MAX on both planes),
+    so the bottom-k stage starts directly at its row-sort compaction —
+    no separate validity plane, no mask/where passes over the pool.
+
+    ``t_ref``/``len_ref`` are SMEM scalars: the hi-plane threshold (u32)
+    and the valid sequence length (i32)."""
+    G = GROUPS
+    bea, beb = bea_ref[:], beb_ref[:]
+    s_hi = 2 * (32 - k)
+    s_lo = 2 * k - 32
+    fhi = bea >> _u32(s_hi)
+    flo = (bea << _u32(s_lo)) | (beb >> _u32(s_hi))
+    if noncanonical:
+        rlo = rhi = flo
+    else:
+        lea, leb = lea_ref[:], leb_ref[:]
+        rlo = lea
+        rhi = leb & _u32((1 << s_lo) - 1)
+    h1l, h1h = _canonical_murmur_body(k, noncanonical, seed, flo, fhi, rlo, rhi)
+
+    t_hi = t_ref[0]
+    length = len_ref[0]
+    RB = bea.shape[1]
+    base = pl.program_id(0) * jnp.int32(G)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (G, RB), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (G, RB), 1)
+    pos = (base + sub) * jnp.int32(RB) + lane
+    keep = (
+        (wv_ref[:] != _u32(0))
+        & (pos <= length - jnp.int32(k))
+        & (h1h <= t_hi)
+    )
+    U = _u32(0xFFFFFFFF)
+    out_ref[0 * G : 1 * G, :] = jnp.where(keep, h1l, U)
+    out_ref[1 * G : 2 * G, :] = jnp.where(keep, h1h, U)
+
+
+@partial(jax.jit, static_argnames=("k", "noncanonical", "seed", "interpret"))
+def kmer_hashes_packed_masked_planes(
+    codes: jax.Array,  # u32[N] 2-bit codes, 4 = invalid character
+    t_hi: jax.Array,  # u32 scalar bottom-k threshold (hi plane)
+    length: jax.Array,  # i32 scalar valid sequence length
+    *,
+    k: int,
+    noncanonical: bool = False,
+    seed: int = 42,
+    interpret: bool = False,
+):
+    """(masked_h1lo u32[N], masked_h1hi u32[N]) — windows that are
+    invalid, beyond ``length - k``, or with h1hi > t_hi hold U32MAX on
+    BOTH planes (the bottom-k pad convention).  16 < k <= 32."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    if not (16 < k <= 32):
+        raise ValueError("packed planes variant requires 16 < k <= 32")
+    N = codes.shape[0]
+    G = GROUPS
+    RB = ROW_BLOCK
+    per = G * RB
+    Np = -(-N // per) * per
+    C = Np // per
+    pad = Np + 48
+    flat = jnp.full((pad,), jnp.uint32(4)).at[:N].set(codes.astype(jnp.uint32))
+    v = (flat < _u32(4)).astype(jnp.uint32)
+    cc = flat & _u32(3)
+    g = cc ^ _u32(3)
+    be, le, vv = cc, g, v
+    m = 1
+    while m < 16:
+        be = (be << _u32(2 * m)) | jnp.concatenate(
+            [be[m:], jnp.zeros((m,), jnp.uint32)]
+        )
+        le = le | (
+            jnp.concatenate([le[m:], jnp.zeros((m,), jnp.uint32)]) << _u32(2 * m)
+        )
+        vv = vv & jnp.concatenate([vv[m:], jnp.ones((m,), jnp.uint32)])
+        m *= 2
+    wv = vv
+    rem = k - 16
+    vlev = {1: v}
+    x = v
+    m = 1
+    while m < 16:
+        x = x & jnp.concatenate([x[m:], jnp.ones((m,), jnp.uint32)])
+        m *= 2
+        vlev[m] = x
+    off = 16
+    while rem > 0:
+        b = 1 << (rem.bit_length() - 1)
+        tap = vlev[b]
+        wv = wv & jnp.concatenate([tap[off:], jnp.ones((off,), jnp.uint32)])
+        off += b
+        rem -= b
+
+    def slabs(x):
+        return x[:Np].reshape(C * G, RB)
+
+    beb = jnp.concatenate([be[16:], jnp.zeros((16,), jnp.uint32)])
+    leb = jnp.concatenate([le[16:], jnp.zeros((16,), jnp.uint32)])
+    t_arr = jnp.reshape(t_hi.astype(jnp.uint32), (1,))
+    len_arr = jnp.reshape(length.astype(jnp.int32), (1,))
+
+    Z = np.int32(0)
+    call = pl.pallas_call(
+        partial(_packed_slab_masked_kernel, k, noncanonical, seed),
+        grid=(C,),
+        out_shape=jax.ShapeDtypeStruct((C * 2 * G, RB), jnp.uint32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((G, RB), lambda i: (i, Z)),
+            pl.BlockSpec((G, RB), lambda i: (i, Z)),
+            pl.BlockSpec((G, RB), lambda i: (i, Z)),
+            pl.BlockSpec((G, RB), lambda i: (i, Z)),
+            pl.BlockSpec((G, RB), lambda i: (i, Z)),
+        ],
+        out_specs=pl.BlockSpec((2 * G, RB), lambda i: (i, Z)),
+        interpret=interpret,
+    )
+    out = call(
+        t_arr, len_arr, slabs(be), slabs(beb), slabs(le), slabs(leb), slabs(wv)
+    ).reshape(C, 2 * G, RB)
+    h1l = out[:, :G, :].reshape(Np)[:N]
+    h1h = out[:, G:, :].reshape(Np)[:N]
+    return h1l, h1h
+
+
 @partial(jax.jit, static_argnames=("k", "noncanonical", "seed", "interpret"))
 def kmer_hashes_packed_pallas_planes(
     codes: jax.Array,  # u32[N] 2-bit codes, 4 = invalid character

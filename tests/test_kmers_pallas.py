@@ -71,10 +71,10 @@ def test_classic_sketch_device_matches_split_path():
     from fpmash_tpu.ops.bottomk import bottom_k_threshold
     from fpmash_tpu.ops.kmers import _kmer_hashes_acgt, classic_sketch_device
 
-    orig = kp.kmer_hashes_packed_pallas_planes
+    orig = kp.kmer_hashes_packed_masked_planes
     # NB: functools.partial keywords would be overridden by the route's
     # explicit interpret=False — force it in a wrapper instead
-    kp.kmer_hashes_packed_pallas_planes = lambda *a, **kw: orig(
+    kp.kmer_hashes_packed_masked_planes = lambda *a, **kw: orig(
         *a, **{**kw, "interpret": True}
     )
     try:
@@ -82,10 +82,16 @@ def test_classic_sketch_device_matches_split_path():
         chars = np.frombuffer(b"ACGTacgtN", np.uint8)
         seq = chars[rng.integers(0, len(chars), 3000)]
         ln = 2900
-        v1, c1, n1, ok1 = classic_sketch_device(
-            jnp.asarray(seq), jnp.int32(ln), k=21, s=100, seed=42,
-            need_counts=True,
-        )
+        # boost retry mirrors production callers: the fused route's
+        # threshold uses the all-valid length estimate, so invalid-heavy
+        # inputs under-collect at boost=1 and report ok=False
+        for boost in (1, 8):
+            v1, c1, n1, ok1 = classic_sketch_device(
+                jnp.asarray(seq), jnp.int32(ln), k=21, s=100, seed=42,
+                need_counts=True, boost=boost,
+            )
+            if bool(ok1):
+                break
         h, valid = _kmer_hashes_acgt(
             jnp.asarray(seq), jnp.int32(ln), k=21, noncanonical=False,
             preserve_case=False, seed=42, pallas=False,
@@ -96,7 +102,7 @@ def test_classic_sketch_device_matches_split_path():
         assert np.array_equal(np.asarray(v1), np.asarray(v0))
         assert np.array_equal(np.asarray(c1), np.asarray(c0))
     finally:
-        kp.kmer_hashes_packed_pallas_planes = orig
+        kp.kmer_hashes_packed_masked_planes = orig
 
 
 def test_packed_planes_matches_slab(monkeypatch):

@@ -249,10 +249,10 @@ def test_classic_direct_route_multichunk(monkeypatch):
     monkeypatch.setenv("FPMASH_DEVICES", "1")
     _mock_tpu(monkeypatch)
     monkeypatch.setattr(sk, "_DIRECT_CHUNK", 8192)  # forces 3+ chunks
-    orig = kp.kmer_hashes_packed_pallas_planes
+    orig = kp.kmer_hashes_packed_masked_planes
     monkeypatch.setattr(
         kp,
-        "kmer_hashes_packed_pallas_planes",
+        "kmer_hashes_packed_masked_planes",
         lambda *a, **kw: orig(*a, **{**kw, "interpret": True}),
     )
     got = sk._classic_sketch_direct([seq], p, "auto")

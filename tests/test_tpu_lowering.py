@@ -193,3 +193,15 @@ def test_lower_walk_pallas_kernel_packed_tiers():
             ref,
             rl,
         )
+
+
+def test_lower_packed_masked_kernel():
+    from fpmash_tpu.ops.kmers_pallas import kmer_hashes_packed_masked_planes
+
+    codes = jnp.asarray(np.random.default_rng(0).integers(0, 4, size=1 << 15).astype(np.uint32))
+    _lower_tpu(
+        lambda c: kmer_hashes_packed_masked_planes(
+            c, jnp.uint32(1 << 20), jnp.int32(30000), k=21
+        ),
+        codes,
+    )
