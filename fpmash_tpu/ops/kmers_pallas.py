@@ -648,8 +648,12 @@ def kmer_hashes_packed_masked_planes(
         grid=(C,),
         out_shape=jax.ShapeDtypeStruct((C * 2 * G, RB), jnp.uint32),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            # NB: explicit (1,) block + np.int32 index map — a defaulted
+            # SMEM spec's identity map returns the raw grid index, which
+            # is i64 under x64 and trips Mosaic's func.return
+            # legalization (the index-map trap, caught on chip)
+            pl.BlockSpec((1,), lambda i: (Z,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1,), lambda i: (Z,), memory_space=pltpu.SMEM),
             pl.BlockSpec((G, RB), lambda i: (i, Z)),
             pl.BlockSpec((G, RB), lambda i: (i, Z)),
             pl.BlockSpec((G, RB), lambda i: (i, Z)),
