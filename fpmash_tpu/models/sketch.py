@@ -954,6 +954,10 @@ def _classic_sketch_direct(seqs: list[str], p: SketchParams, backend: str):
 
     v = np.concatenate(vals_all)
     c = np.concatenate(counts_all).astype(np.uint64)
+    if len(v) == 0:
+        # saturated-empty chunks (e.g. an all-N sequence) return ok with
+        # zero candidates
+        return v, c.astype(np.uint32)
     order = np.argsort(v, kind="stable")
     v, c = v[order], c[order]
     is_start = np.concatenate([[True], v[1:] != v[:-1]])

@@ -270,3 +270,25 @@ def test_classic_direct_route_multichunk(monkeypatch):
     gv2, gc2 = got2
     assert np.array_equal(gv2, wv)
     assert np.array_equal(gc2.astype(np.uint32), wc)
+
+
+def test_classic_direct_route_all_invalid(monkeypatch):
+    """An all-N sequence (no valid windows) must not crash the direct
+    route's merge (saturated-empty chunks return ok with 0 candidates)."""
+    from fpmash_tpu.models import sketch as sk
+    from fpmash_tpu.ops import kmers_pallas as kp
+
+    monkeypatch.setenv("FPMASH_DEVICES", "1")
+    _mock_tpu(monkeypatch)
+    monkeypatch.setattr(sk, "_DIRECT_CHUNK", 8192)
+    for name in ("kmer_hashes_packed_masked_planes",):
+        orig = getattr(kp, name)
+        monkeypatch.setattr(
+            kp, name,
+            lambda *a, _o=orig, **kw: _o(*a, **{**kw, "interpret": True}),
+        )
+    p = sk.SketchParams(kmer_size=21, sketch_size=64)
+    got = sk._classic_sketch_direct(["N" * 20000], p, "auto")
+    if got is not None:  # either outcome valid; must not raise
+        gv, gc = got
+        assert len(gv) == 0
