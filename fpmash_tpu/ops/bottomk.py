@@ -73,6 +73,37 @@ def _sort_planes_flat(hi, lo):
     return h2.reshape(-1)[:n], l2.reshape(-1)[:n]
 
 
+def _row_sort(yhi, ylo):
+    """One-key ascending row sort (the candidate compaction): the Pallas
+    bitonic kernel on TPU for [8k, 4096] shapes (1.14x lax.sort on chip,
+    exp_psort_r4), the XLA sort elsewhere.  Key ties may order
+    differently between the two — irrelevant here: the kept candidate
+    SET is identical (all candidates key below the U32MAX fill) and the
+    downstream two-key candidate sort fixes global order.
+    ``FPMASH_NO_SORT_PALLAS=1`` forces the XLA sort."""
+    import os
+
+    C, cols = yhi.shape
+    if (
+        jax.default_backend() != "cpu"
+        and cols == 4096
+        and C % 8 == 0
+        and not os.environ.get("FPMASH_NO_SORT_PALLAS")
+    ):
+        try:
+            from fpmash_tpu.ops.sort_pallas import row_sort_planes_pallas
+
+            return row_sort_planes_pallas(yhi, ylo)
+        except Exception as e:  # pragma: no cover - Mosaic regression
+            from fpmash_tpu.utils.trace import warn
+
+            warn(
+                f"bottomk: pallas row sort unavailable "
+                f"({type(e).__name__}), using lax.sort"
+            )
+    return jax.lax.sort((yhi, ylo), num_keys=1)
+
+
 @partial(jax.jit, static_argnames=("s", "min_cov"))
 def bottom_k_distinct(hashes: jax.Array, valid: jax.Array, *, s: int, min_cov: int = 1):
     """Bottom-s distinct hashes with counts from a flat pool.
@@ -174,7 +205,7 @@ def bottom_k_threshold_planes(
     P = min(cols, max(16, -(-32 * s // max(C, 1))))
     ylo = jnp.where(mask, lo, U32MAX).reshape(C, cols)
     yhi = jnp.where(mask, hi, U32MAX).reshape(C, cols)
-    yhi, ylo = jax.lax.sort((yhi, ylo), num_keys=1)
+    yhi, ylo = _row_sort(yhi, ylo)
     row_counts = jnp.sum(mask.reshape(C, cols).astype(jnp.int32), axis=1)
     row_overflow = jnp.max(row_counts) > P
     chi = yhi[:, :P].reshape(C * P)
@@ -262,7 +293,7 @@ def bottom_k_premasked_planes(
     P = min(cols, max(16, -(-32 * s // max(C, 1))))
     ylo = lo.reshape(C, cols)
     yhi = hi.reshape(C, cols)
-    yhi, ylo = jax.lax.sort((yhi, ylo), num_keys=1)
+    yhi, ylo = _row_sort(yhi, ylo)
     row_counts = jnp.sum((~pad).reshape(C, cols).astype(jnp.int32), axis=1)
     row_overflow = jnp.max(row_counts) > P
     chi = yhi[:, :P].reshape(C * P)

@@ -114,3 +114,26 @@ def test_bottomk_need_counts_false_same_values():
     assert int(n1) == int(n2)
     c2 = np.asarray(c2)
     assert (c2[: int(n2)] == 1).all()
+
+
+def test_pallas_row_sort_matches_lax_sort():
+    """Interpret-mode parity: the Pallas bitonic row sort produces
+    ascending keys with the same (key, payload) multiset per row as
+    lax.sort (tie order may differ — downstream is order-insensitive)."""
+    import jax
+    import jax.numpy as jnp
+
+    from fpmash_tpu.ops.sort_pallas import row_sort_planes_pallas
+
+    rng = np.random.default_rng(13)
+    C = 8
+    keys = rng.integers(0, 50, size=(C, 4096)).astype(np.uint32)  # many ties
+    pay = rng.integers(0, 1 << 32, size=(C, 4096), dtype=np.uint64).astype(np.uint32)
+    kh, kl = row_sort_planes_pallas(
+        jnp.asarray(keys), jnp.asarray(pay), interpret=True
+    )
+    wh, wl = jax.lax.sort((jnp.asarray(keys), jnp.asarray(pay)), num_keys=1)
+    kh, kl, wh, wl = map(np.asarray, (kh, kl, wh, wl))
+    assert np.array_equal(kh, wh)  # keys sort identically
+    for r in range(C):
+        assert sorted(zip(kh[r], kl[r])) == sorted(zip(wh[r], wl[r]))

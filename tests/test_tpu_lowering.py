@@ -205,3 +205,10 @@ def test_lower_packed_masked_kernel():
         ),
         codes,
     )
+
+
+def test_lower_pallas_row_sort():
+    from fpmash_tpu.ops.sort_pallas import row_sort_planes_pallas
+
+    k = jnp.asarray(np.random.default_rng(0).integers(0, 1 << 32, size=(16, 4096), dtype=np.uint64).astype(np.uint32))
+    _lower_tpu(lambda a, b: row_sort_planes_pallas(a, b), k, k)
