@@ -74,33 +74,15 @@ def _sort_planes_flat(hi, lo):
 
 
 def _row_sort(yhi, ylo):
-    """One-key ascending row sort (the candidate compaction): the Pallas
-    bitonic kernel on TPU for [8k, 4096] shapes (1.14x lax.sort on chip,
-    exp_psort_r4), the XLA sort elsewhere.  Key ties may order
-    differently between the two — irrelevant here: the kept candidate
-    SET is identical (all candidates key below the U32MAX fill) and the
-    downstream two-key candidate sort fixes global order.
-    ``FPMASH_NO_SORT_PALLAS=1`` forces the XLA sort."""
-    import os
+    """One-key ascending row sort (the candidate compaction).
 
-    C, cols = yhi.shape
-    if (
-        jax.default_backend() != "cpu"
-        and cols == 4096
-        and C % 8 == 0
-        and not os.environ.get("FPMASH_NO_SORT_PALLAS")
-    ):
-        try:
-            from fpmash_tpu.ops.sort_pallas import row_sort_planes_pallas
-
-            return row_sort_planes_pallas(yhi, ylo)
-        except Exception as e:  # pragma: no cover - Mosaic regression
-            from fpmash_tpu.utils.trace import warn
-
-            warn(
-                f"bottomk: pallas row sort unavailable "
-                f"({type(e).__name__}), using lax.sort"
-            )
+    Stays on ``lax.sort``: the Pallas bitonic kernel
+    (ops/sort_pallas.py) wins the ISOLATED stage 1.14x but LOSES in the
+    full bottom-k composition (666 vs 725 M, exp_psort_r4 full-bk
+    interleaved A/B) — a pallas_call is a fusion barrier, so the
+    surrounding mask/slice work XLA folds into lax.sort's prologue gets
+    materialized around it.  The kernel stays available + tested for
+    workloads where the stage dominates."""
     return jax.lax.sort((yhi, ylo), num_keys=1)
 
 

@@ -91,6 +91,23 @@ def main():
     phi = jnp.asarray(rng.integers(0, 1 << 32, size=N, dtype=np.uint64).astype(np.uint32))
     P = 40
 
+    from fpmash_tpu.ops.bottomk import _U64MAX, _sort_planes_flat
+
+    def full_bk(lo, hi, pallas_sort):
+        chi2, clo2 = compact(lo, hi, pallas_sort)
+        chi = chi2.reshape(-1)
+        clo = clo2.reshape(-1)
+        cap = chi.shape[0]
+        chi, clo = _sort_planes_flat(chi, clo)
+        neq = (chi[1:] != chi[:-1]) | (clo[1:] != clo[:-1])
+        is_start = jnp.concatenate([jnp.array([True]), neq])
+        is_start = is_start & ~((chi == U32MAX) & (clo == U32MAX))
+        out_idx = jnp.nonzero(is_start, size=s, fill_value=cap)[0]
+        opad = out_idx >= cap
+        out_idx = jnp.minimum(out_idx, cap - 1)
+        vals64 = (chi[out_idx].astype(jnp.uint64) << jnp.uint64(32)) | clo[out_idx].astype(jnp.uint64)
+        return jnp.where(opad, _U64MAX, vals64)
+
     def compact(lo, hi, pallas_sort):
         valid = lo > 0
         n_valid = jnp.sum(valid.astype(jnp.int64))
@@ -109,13 +126,11 @@ def main():
         @jax.jit
         def bench(plo, phi):
             t = jnp.uint32(0)
-            acc = jnp.uint32(0)
+            acc = jnp.uint64(0)
             for _ in range(iters):
-                chi, clo = compact(plo ^ t, phi ^ t, ps)
-                t = clo[0, 0] & jnp.uint32(1)
-                acc = acc + jnp.sum(chi, dtype=jnp.uint32) + jnp.sum(
-                    clo, dtype=jnp.uint32
-                )
+                vals = full_bk(plo ^ t, phi ^ t, ps)
+                t = (vals[0] & jnp.uint64(1)).astype(jnp.uint32)
+                acc = acc + vals.sum()
             return acc
         return bench
 
