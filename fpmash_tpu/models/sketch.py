@@ -880,10 +880,7 @@ def _classic_sketch_direct(seqs: list[str], p: SketchParams, backend: str):
         return None
     from fpmash_tpu.parallel.sharded import visible_device_count
 
-    if visible_device_count() > 1:
-        # the pool path shards chunk rows across devices; keep it for
-        # multi-chip runs until the direct route round-robins chunks
-        return None
+    n_dev = visible_device_count()
 
     import jax.numpy as jnp
 
@@ -896,9 +893,10 @@ def _classic_sketch_direct(seqs: list[str], p: SketchParams, backend: str):
         for s in seqs
     )
     n = len(blob)
-    # below ~CHUNK/16 bases the pool path moves less data than one padded
-    # chunk upload
-    if n < max(4096, _DIRECT_CHUNK >> 4):
+    # below CHUNK/8 valid bases the fused route's N-based threshold
+    # cannot guarantee s candidates within its boost ladder (see
+    # classic_sketch_device), and the pool path's transfer is modest
+    if n < max(4096, _DIRECT_CHUNK >> 3):
         return None
     # ONE fixed chunk shape, always: the axon relay corrupts re-execution
     # of a program that was compiled at a second shape (shape A exec ->
@@ -912,42 +910,52 @@ def _classic_sketch_direct(seqs: list[str], p: SketchParams, backend: str):
         return None
     need_counts = bool(p.counts or p.min_cov > 1 or p.target_cov > 0)
 
+    # chunks are data-independent until the host merge, so they
+    # round-robin across visible devices (multi-chip DP: each chip runs
+    # its chunks, only s-sized results return); results drain in order
+    devices = jax.devices()[:n_dev]
     vals_all = []
     counts_all = []
-    for pos in starts:
+
+    def run_chunk(ci, pos):
         end = min(pos + size, n)
         buf = np.zeros(size, np.uint8)
         buf[: end - pos] = np.frombuffer(blob[pos:end], np.uint8)
         # windows starting in the k-1 overlap belong to the next chunk
         length = (end - pos) if end == n else (step + k - 1)
-        got = None
-        try:
-            for boost in (1, 8):
-                values, counts, nv, ok = classic_sketch_device(
-                    jnp.asarray(buf),
-                    jnp.int32(length),
-                    k=k,
-                    s=p.sketch_size,
-                    noncanonical=p.noncanonical,
-                    preserve_case=p.preserve_case,
-                    seed=p.seed,
-                    min_cov=1,
-                    boost=boost,
-                    need_counts=need_counts,
-                )
-                if bool(ok):
-                    got = (np.asarray(values), np.asarray(counts), int(nv))
-                    break
-        except Exception as e:
-            from fpmash_tpu.utils.trace import warn
-
-            warn(
-                f"sketch: direct classic route failed at run time "
-                f"({type(e).__name__}), falling back to the pool path"
+        dev = devices[ci % len(devices)]
+        buf_d = jax.device_put(buf, dev)
+        len_d = jax.device_put(np.int32(length), dev)
+        for boost in (1, 2):
+            values, counts, nv, ok = classic_sketch_device(
+                buf_d,
+                len_d,
+                k=k,
+                s=p.sketch_size,
+                noncanonical=p.noncanonical,
+                preserve_case=p.preserve_case,
+                seed=p.seed,
+                min_cov=1,
+                boost=boost,
+                need_counts=need_counts,
             )
-            return None
-        if got is None:
-            return None  # pathological distribution: pool path is exact
+            if bool(ok):
+                return (np.asarray(values), np.asarray(counts), int(nv))
+        return None
+
+    try:
+        results = [run_chunk(ci, pos) for ci, pos in enumerate(starts)]
+    except Exception as e:
+        from fpmash_tpu.utils.trace import warn
+
+        warn(
+            f"sketch: direct classic route failed at run time "
+            f"({type(e).__name__}), falling back to the pool path"
+        )
+        return None
+    if any(r is None for r in results):
+        return None  # pathological distribution: pool path is exact
+    for got in results:
         v, c, nv = got
         vals_all.append(v[:nv])
         counts_all.append(c[:nv])

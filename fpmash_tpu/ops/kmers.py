@@ -374,21 +374,29 @@ def classic_sketch_device(
     if 16 < k <= 32:
         # threshold-fused route: the packed hash kernel pre-masks its
         # output planes (invalid / past-end / above-threshold lanes hold
-        # U32MAX), so bottom-k starts at its compaction directly.  The
-        # threshold uses the all-valid estimate n ~= length - k + 1;
-        # inputs with many invalid characters may under-collect, which
-        # the ok flag reports and the caller's boost retry covers.
-        n_est = jnp.maximum(length.astype(jnp.float32) - (k - 1), 1.0)
-        frac = jnp.minimum((8.0 * s * boost) / n_est, 1.0)
-        sat = frac >= 1.0
-        t_hi = jnp.where(
-            sat, jnp.uint32(0xFFFFFFFF), (frac * float(2**32)).astype(jnp.uint32)
+        # U32MAX), so bottom-k starts at its compaction directly.
+        #
+        # The threshold fraction is computed against the STATIC padded N,
+        # not the valid length: with a short sequence in a padded buffer,
+        # candidates concentrate in the active rows, and an n-based
+        # fraction exceeds the per-row P slots sized for uniform density
+        # (row_overflow tripped on every chunk with >=8x padding).  An
+        # N-based fraction keeps per-row density = 8*s*boost*cols/N by
+        # construction; it collects 8*s*boost*(valid/N) candidates, so
+        # callers retry with a higher boost when valid << N (the ok flag
+        # reports under-collection; _classic_sketch_direct gates inputs
+        # at N/8 and ladders boost 1 -> 2).
+        frac_f = min(1.0, (8.0 * s * boost) / max(N - (k - 1), 1))
+        sat = frac_f >= 1.0
+        t_hi = jnp.uint32(
+            0xFFFFFFFF if sat else min(0xFFFFFFFF, int(frac_f * float(2**32)))
         )
         mlo, mhi = kmer_hashes_packed_masked_planes(
             code, t_hi, length, k=k, noncanonical=noncanonical, seed=seed
         )
         return bottom_k_premasked_planes(
-            mlo, mhi, sat, s=s, min_cov=min_cov, need_counts=need_counts
+            mlo, mhi, jnp.bool_(sat), s=s, min_cov=min_cov,
+            need_counts=need_counts,
         )
     h1l, h1h, vw = kmer_hashes_route_planes(
         code, k=k, noncanonical=noncanonical, seed=seed

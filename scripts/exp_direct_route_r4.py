@@ -17,7 +17,7 @@ def main():
     print(f"backend={jax.default_backend()}", flush=True)
     sk._DIRECT_CHUNK = 1 << 24
     rng = np.random.default_rng(3)
-    seq = "".join("ACGT"[c] for c in rng.integers(0, 4, size=2_000_000))
+    seq = "".join("ACGT"[c] for c in rng.integers(0, 4, size=3_000_000))
     p = sk.SketchParams()
 
     t0 = time.perf_counter()

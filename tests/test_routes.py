@@ -261,6 +261,14 @@ def test_classic_direct_route_multichunk(monkeypatch):
     assert np.array_equal(gv, wv)
     assert (gc == 1).all()  # multiplicities unused -> ones contract
 
+    # multi-device round-robin (chunks across the 8-virtual-device mesh)
+    # must be byte-identical to the single-device run
+    monkeypatch.setenv("FPMASH_DEVICES", "8")
+    got8 = sk._classic_sketch_direct([seq], p, "auto")
+    assert got8 is not None
+    assert np.array_equal(got8[0], wv)
+    monkeypatch.setenv("FPMASH_DEVICES", "1")
+
     # with -M the counts are consumed: exact multiplicities must merge
     # across chunks (the duplicated region's k-mers have count 2 split
     # between chunks)
