@@ -906,7 +906,10 @@ def _classic_sketch_direct(seqs: list[str], p: SketchParams, backend: str):
     size = _DIRECT_CHUNK
     step = size - (k - 1)
     starts = list(range(0, n, step))
-    if len(starts) > 1 and p.min_cov > 1:
+    if p.min_cov > 1:
+        # the chunk's s candidate slots can be crowded by count-1 values,
+        # silently under-collecting min_cov-eligible ones (even single
+        # chunk); the pool path applies min_cov over the full pool exactly
         return None
     need_counts = bool(p.counts or p.min_cov > 1 or p.target_cov > 0)
 
