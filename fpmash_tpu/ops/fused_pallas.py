@@ -40,14 +40,15 @@ from jax.experimental import pallas as pl
 # windows per kernel launch (lanes).  FPMASH_ROW_BLOCK overrides — the
 # test suite shrinks it so interpret-mode runs don't simulate 2048 lanes
 # for a 30-row case (and so multi-chunk paths are actually exercised).
-# Default 1024 (was 2048): every window in a tile waits for the tile's
-# slowest automaton, and narrower tiles have lower max step counts —
-# chip A/B: CFL 12.4 vs 11.6 G, ICFL_COMB 3.54 vs 3.04 G (RB sweep
-# 2026-08-21; 4096 measured WORSE, 10.1 G).  The classic kmer kernels
-# (ops/kmers_pallas.py) keep their own 2048 default.
+# Default 512 (was 2048): every window in a tile waits for the tile's
+# slowest automaton, and narrower tiles have lower max step counts.
+# Chip RB sweep (CFL fp Gbases/s, 2026-08-21): 128->7.6, 256->10.2,
+# 512->13.1, 1024->12.4, 2048->11.6, 4096->10.1; ICFL_COMB 3.51 at 512
+# vs 3.04 at 2048.  The classic kmer kernels (ops/kmers_pallas.py)
+# keep their own 2048 default.
 import os as _os
 
-ROW_BLOCK = int(_os.environ.get("FPMASH_ROW_BLOCK", "1024"))
+ROW_BLOCK = int(_os.environ.get("FPMASH_ROW_BLOCK", "512"))
 
 
 def _grid_chunk_call(kernel, ins, in_rows, out_rows, interpret):
