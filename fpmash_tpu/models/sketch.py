@@ -362,6 +362,11 @@ class Sketch:
                     and shift
                     and batch.shape[1] == W
                     and sum(len(s) for _, s in reads) < (1 << 30)
+                    # a read shorter than W (incl. zero-length) contributes
+                    # one batch row but ZERO (or misaligned) `starts`
+                    # entries below, shifting every later row's gathered
+                    # window — the u8-row route handles those correctly
+                    and min((len(s) for _, s in reads), default=0) >= W
                 ):
                     # flat-stream route: ship each read ONCE as 2-bit
                     # codes and gather the packed window words on device

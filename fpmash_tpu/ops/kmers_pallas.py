@@ -521,14 +521,20 @@ def _packed_slab_kernel(k: int, noncanonical: bool, seed: int,
     bea, beb = bea_ref[:], beb_ref[:]
     s_hi = 2 * (32 - k)  # 64 - 2k
     s_lo = 2 * k - 32
-    fhi = bea >> _u32(s_hi)
-    flo = (bea << _u32(s_lo)) | (beb >> _u32(s_hi))
+    if k == 32:
+        # s_lo == 32: a full-bit-width u32 shift is implementation-defined
+        # (XLA:CPU yields 0, Mosaic may mask the amount) — the window is
+        # exactly the two packed words, no shifts needed
+        fhi, flo = bea, beb
+    else:
+        fhi = bea >> _u32(s_hi)
+        flo = (bea << _u32(s_lo)) | (beb >> _u32(s_hi))
     if noncanonical:
         rlo = rhi = flo  # unused
     else:
         lea, leb = lea_ref[:], leb_ref[:]
         rlo = lea
-        rhi = leb & _u32((1 << s_lo) - 1)
+        rhi = leb if k == 32 else leb & _u32((1 << s_lo) - 1)
     h1l, h1h = _canonical_murmur_body(k, noncanonical, seed, flo, fhi, rlo, rhi)
     out_ref[0 * G : 1 * G, :] = h1l
     out_ref[1 * G : 2 * G, :] = h1h
@@ -550,14 +556,18 @@ def _packed_slab_masked_kernel(k: int, noncanonical: bool, seed: int,
     bea, beb = bea_ref[:], beb_ref[:]
     s_hi = 2 * (32 - k)
     s_lo = 2 * k - 32
-    fhi = bea >> _u32(s_hi)
-    flo = (bea << _u32(s_lo)) | (beb >> _u32(s_hi))
+    if k == 32:
+        # s_lo == 32 full-width shift guard — see _packed_slab_kernel
+        fhi, flo = bea, beb
+    else:
+        fhi = bea >> _u32(s_hi)
+        flo = (bea << _u32(s_lo)) | (beb >> _u32(s_hi))
     if noncanonical:
         rlo = rhi = flo
     else:
         lea, leb = lea_ref[:], leb_ref[:]
         rlo = lea
-        rhi = leb & _u32((1 << s_lo) - 1)
+        rhi = leb if k == 32 else leb & _u32((1 << s_lo) - 1)
     h1l, h1h = _canonical_murmur_body(k, noncanonical, seed, flo, fhi, rlo, rhi)
 
     t_hi = t_ref[0]

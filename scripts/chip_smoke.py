@@ -162,6 +162,29 @@ def main() -> int:
 
     guard("kmer21", _kmer_case)
 
+    def _kmer32_case():
+        # k=32 is the packed kernel's s_lo==32 edge: a full-bit-width u32
+        # shift there is implementation-defined (XLA:CPU yields 0, Mosaic
+        # may mask the amount), so the kernel special-cases it — assert
+        # the on-chip lowering agrees with the scalar chain
+        N = 4096
+        seq = _words(rng, 1, N, pure=True)[0]
+        t0 = time.perf_counter()
+        h, valid = jax.device_get(
+            kmer_hashes(jnp.asarray(seq), jnp.int32(N), k=32, seed=42, use64=True)
+        )
+        comp = {65: 84, 67: 71, 71: 67, 84: 65}
+        want = []
+        sb = seq.tobytes()
+        for i in range(64):
+            kmer = sb[i : i + 32]
+            rc = bytes(comp[c] for c in reversed(kmer))
+            want.append(hash_bytes(min(kmer, rc), seed=42, use64=True))
+        assert valid[:64].all()
+        check(f"kmer32-packed ({time.perf_counter()-t0:.0f}s)", h[:64], want)
+
+    guard("kmer32-packed", _kmer32_case)
+
     # --- bottom-k + compare ---
     from fpmash_tpu.ops.bottomk import bottom_k_distinct, bottom_k_host
     from fpmash_tpu.ops.compare import pairwise_common_denom

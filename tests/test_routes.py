@@ -227,6 +227,43 @@ def test_direct_fp_flat_stream_route(monkeypatch):
         )
 
 
+def test_direct_fp_flat_stream_skips_short_reads(monkeypatch):
+    """A read shorter than the 100-base shift window (incl. zero-length)
+    contributes a batch row but zero/misaligned `starts` entries, which
+    would shift every later read's gathered window — the flat-stream
+    route must NOT be taken for such inputs, and the fallback must still
+    be bit-identical to the CPU pipeline."""
+    from fpmash_tpu.models.sketch import Sketch, SketchParams
+    from fpmash_tpu.ops import fused_pallas as fp
+
+    rng = np.random.default_rng(33)
+    for short_len in (0, 50):
+        reads = [
+            (f"r{i}", "".join("ACGT"[c] for c in rng.integers(0, 4, size=n)))
+            for i, n in enumerate((120, short_len, 101))
+        ]
+        ref = Sketch(SketchParams().for_fingerprint())
+        ref.init_from_reads_fingerprint(list(reads), "CFL", shift=True)
+
+        monkeypatch.setenv("FPMASH_DEVICES", "1")
+        _mock_tpu(monkeypatch)
+        calls = []
+        monkeypatch.setattr(
+            fp,
+            "fingerprint_hashes_fused_words",
+            lambda *a, **kw: calls.append(1),
+        )
+        got = Sketch(SketchParams().for_fingerprint())
+        got.init_from_reads_fingerprint(list(reads), "CFL", shift=True)
+        assert not calls, "flat-stream route taken despite a short read"
+        assert len(got.references) == len(ref.references)
+        for a, b in zip(got.references, ref.references):
+            assert a.name == b.name and a.length == b.length
+            assert np.array_equal(
+                np.asarray(a.hashes, np.uint64), np.asarray(b.hashes, np.uint64)
+            )
+
+
 def test_classic_direct_route_multichunk(monkeypatch):
     """The fused direct classic route (chunked classic_sketch_device +
     host-side bottom-k merge) produces the identical sketch to the pool
@@ -311,7 +348,8 @@ def test_bottom_k_runtime_fallback_chain(monkeypatch, capsys):
     from fpmash_tpu.ops import bottomk as bk
 
     rng = np.random.default_rng(51)
-    pool = rng.integers(1, 1 << 63, size=1 << 17, dtype=np.uint64)
+    # > 1<<17 after the pow2 bucket so the threshold fast path is taken
+    pool = rng.integers(1, 1 << 63, size=(1 << 17) + 1, dtype=np.uint64)
     p = sk.SketchParams(sketch_size=64)
     want_v, want_c = bk.bottom_k_host(pool, 64)
 
@@ -321,8 +359,9 @@ def test_bottom_k_runtime_fallback_chain(monkeypatch, capsys):
     monkeypatch.setattr(bk, "bottom_k_threshold", boom)
     v, c = sk._bottom_k(pool, p, "jax")
     assert np.array_equal(v, want_v)
+    assert "falling back to the full sort" in capsys.readouterr().err
 
     monkeypatch.setattr(bk, "bottom_k_distinct", boom)
     v, c = sk._bottom_k(pool, p, "jax")
     assert np.array_equal(v, want_v) and np.array_equal(c, want_c)
-    assert "falling back" in capsys.readouterr().err or True
+    assert "using the host model" in capsys.readouterr().err
