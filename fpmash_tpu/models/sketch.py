@@ -920,39 +920,67 @@ def _classic_sketch_direct(seqs: list[str], p: SketchParams, backend: str):
 
     # chunks are data-independent until the host merge, so they
     # round-robin across visible devices (multi-chip DP: each chip runs
-    # its chunks, only s-sized results return); results drain in order
+    # its chunks, only s-sized results return).  TWO-PHASE dispatch: all
+    # chunks go in flight at boost 1 WITHOUT a blocking fetch between
+    # them (round 4's per-chunk `bool(ok)` sync serialized every chunk
+    # on a full ~25 ms relay round trip and defeated the round-robin);
+    # then results drain in order and under-collected chunks retry as a
+    # second batched boost-2 wave on their device-resident buffers.
     devices = jax.devices()[:n_dev]
     vals_all = []
     counts_all = []
+    # tail slivers shorter than k have zero possible windows: skip them
+    # outright instead of letting an unfillable chunk sink the route
+    starts = [pos for pos in starts if min(pos + size, n) - pos >= k]
 
-    def run_chunk(ci, pos):
-        end = min(pos + size, n)
-        buf = np.zeros(size, np.uint8)
-        buf[: end - pos] = np.frombuffer(blob[pos:end], np.uint8)
-        # windows starting in the k-1 overlap belong to the next chunk
-        length = (end - pos) if end == n else (step + k - 1)
-        dev = devices[ci % len(devices)]
-        buf_d = jax.device_put(buf, dev)
-        len_d = jax.device_put(np.int32(length), dev)
-        for boost in (1, 2):
-            values, counts, nv, ok = classic_sketch_device(
-                buf_d,
-                len_d,
-                k=k,
-                s=p.sketch_size,
-                noncanonical=p.noncanonical,
-                preserve_case=p.preserve_case,
-                seed=p.seed,
-                min_cov=1,
-                boost=boost,
-                need_counts=need_counts,
-            )
-            if bool(ok):
-                return (np.asarray(values), np.asarray(counts), int(nv))
-        return None
+    def dispatch(ci, pos, boost, bufs=None):
+        if bufs is None:
+            end = min(pos + size, n)
+            buf = np.zeros(size, np.uint8)
+            buf[: end - pos] = np.frombuffer(blob[pos:end], np.uint8)
+            # windows starting in the k-1 overlap belong to the next chunk
+            length = (end - pos) if end == n else (step + k - 1)
+            dev = devices[ci % len(devices)]
+            buf_d = jax.device_put(buf, dev)
+            len_d = jax.device_put(np.int32(length), dev)
+        else:
+            buf_d, len_d = bufs
+        out = classic_sketch_device(
+            buf_d,
+            len_d,
+            k=k,
+            s=p.sketch_size,
+            noncanonical=p.noncanonical,
+            preserve_case=p.preserve_case,
+            seed=p.seed,
+            min_cov=1,
+            boost=boost,
+            need_counts=need_counts,
+        )
+        return (buf_d, len_d), out
 
     try:
-        results = [run_chunk(ci, pos) for ci, pos in enumerate(starts)]
+        wave1 = [dispatch(ci, pos, 1) for ci, pos in enumerate(starts)]
+        results: dict[int, tuple] = {}
+        retry = []
+        for ci, (bufs, out) in enumerate(wave1):
+            values, counts, nv, ok = out
+            if bool(ok):  # drains in order; later chunks keep executing
+                results[ci] = (np.asarray(values), np.asarray(counts), int(nv))
+            else:
+                retry.append((ci, bufs))
+        wave2 = [(ci, dispatch(ci, None, 2, bufs)[1]) for ci, bufs in retry]
+        for ci, out in wave2:
+            values, counts, nv, ok = out
+            if bool(ok):
+                results[ci] = (np.asarray(values), np.asarray(counts), int(nv))
+            else:
+                # boost ladder exhausted (pathological distribution /
+                # mostly-invalid chunk): exact pool pass over JUST this
+                # chunk instead of abandoning the whole route
+                results[ci] = _chunk_pool_bottom_k(
+                    blob, starts[ci], size, n, p, need_counts
+                )
     except Exception as e:
         from fpmash_tpu.utils.trace import warn
 
@@ -961,10 +989,8 @@ def _classic_sketch_direct(seqs: list[str], p: SketchParams, backend: str):
             f"({type(e).__name__}), falling back to the pool path"
         )
         return None
-    if any(r is None for r in results):
-        return None  # pathological distribution: pool path is exact
-    for got in results:
-        v, c, nv = got
+    for ci in range(len(starts)):
+        v, c, nv = results[ci]
         vals_all.append(v[:nv])
         counts_all.append(c[:nv])
 
@@ -989,6 +1015,44 @@ def _classic_sketch_direct(seqs: list[str], p: SketchParams, backend: str):
     keep = csum >= p.min_cov
     vals, csum = vals[keep], csum[keep]
     return vals[: p.sketch_size], csum[: p.sketch_size].astype(np.uint32)
+
+
+def _chunk_pool_bottom_k(
+    blob: bytes, pos: int, size: int, n: int, p: SketchParams, need_counts: bool
+):
+    """Exact per-chunk fallback for a direct-route chunk whose boost
+    ladder under-collected: hash the chunk's windows (one device pass,
+    this chunk's pool only comes down), chunk-local bottom-s on host.
+
+    Chunk ownership matches the direct route: valid windows start at
+    0..step-1 (window validity ``start <= length - k`` already excludes
+    the k-1 overlap, whose windows belong to the next chunk).
+    """
+    import jax.numpy as jnp
+
+    from fpmash_tpu.ops.bottomk import bottom_k_host
+    from fpmash_tpu.ops.kmers import kmer_hashes
+
+    k = p.kmer_size
+    end = min(pos + size, n)
+    buf = np.zeros(size, np.uint8)
+    buf[: end - pos] = np.frombuffer(blob[pos:end], np.uint8)
+    length = (end - pos) if end == n else size
+    h, valid = kmer_hashes(
+        jnp.asarray(buf),
+        jnp.int32(length),
+        alphabet=p.alphabet,
+        k=k,
+        noncanonical=p.noncanonical,
+        preserve_case=p.preserve_case,
+        seed=p.seed,
+        use64=True,
+    )
+    hashes = np.asarray(h)[np.asarray(valid)]
+    values, counts = bottom_k_host(hashes, p.sketch_size, 1)
+    if not need_counts:
+        counts = np.ones_like(counts)
+    return values, counts.astype(np.uint32), len(values)
 
 
 def _kmer_hash_pool(seqs: list[str], p: SketchParams, backend: str) -> np.ndarray:

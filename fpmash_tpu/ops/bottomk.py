@@ -73,6 +73,130 @@ def _sort_planes_flat(hi, lo):
     return h2.reshape(-1)[:n], l2.reshape(-1)[:n]
 
 
+def _staged_sum_i64(x) -> jax.Array:
+    """Exact i64 count of a bool[N] mask WITHOUT an int64-wide vector
+    pass: XLA i64/u64 elementwise runs ~100x off HBM speed on this TPU
+    (CLAUDE.md), and ``mask.astype(int64)`` materializes exactly that.
+    Row-partial i32 sums (each <= 1024, no overflow) reduce the i64-wide
+    work to N/1024 elements."""
+    n = x.shape[0]
+    if n % 1024 == 0 and n > 1024:
+        partial = jnp.sum(x.reshape(-1, 1024).astype(jnp.int32), axis=1)
+        return jnp.sum(partial.astype(jnp.int64))
+    return jnp.sum(x.astype(jnp.int64))
+
+
+def _group_extract_planes(lo: jax.Array, hi: jax.Array, group: int, T: int):
+    """Per contiguous group of ``group`` lanes, extract the ``T`` smallest
+    DISTINCT (hi, lo) u32-pair values by iterated min-extraction (a pair
+    of reduces + a mask per step — no sort).  The (U32MAX, U32MAX) pad
+    convention flows through: exhausted groups emit pads.
+
+    Value-duplicates WITHIN a group collapse to one slot (the extraction
+    masks every occurrence of the extracted value), so this compaction is
+    only valid on the ``need_counts=False, min_cov=1`` path — the
+    downstream distinct-dedup collapses them anyway.
+
+    Returns ``(clo, chi, overflow)`` with shapes ``[N // group * T]``;
+    ``overflow`` is True iff any group held MORE than T distinct
+    survivors (exact check: un-extracted non-pad lanes remain), in which
+    case some survivors were dropped and the caller must not trust the
+    result.
+    """
+    U32MAX = jnp.uint32(0xFFFFFFFF)
+    N = lo.shape[0]
+    R = N // group
+    h2 = hi.reshape(R, group)
+    l2 = lo.reshape(R, group)
+    outs_hi = []
+    outs_lo = []
+    for _ in range(T):
+        mh = jnp.min(h2, axis=1)
+        is_mh = h2 == mh[:, None]
+        ml = jnp.min(jnp.where(is_mh, l2, U32MAX), axis=1)
+        outs_hi.append(mh)
+        outs_lo.append(ml)
+        ext = is_mh & (l2 == ml[:, None])
+        h2 = jnp.where(ext, U32MAX, h2)
+        l2 = jnp.where(ext, U32MAX, l2)
+    overflow = jnp.any(~((h2 == U32MAX) & (l2 == U32MAX)))
+    chi = jnp.stack(outs_hi, axis=1).reshape(R * T)
+    clo = jnp.stack(outs_lo, axis=1).reshape(R * T)
+    return clo, chi, overflow
+
+
+#: group-extraction schedule: two rounds of per-group top-T.  Round 1
+#: compacts 64 -> 8 (survivor density 8*s*boost/N keeps per-group
+#: overflow probability negligible); round 2 sees 8x the density, so it
+#: keeps 16 of 64.  Net 32x volume reduction before the candidate sort.
+_COMPACT_ROUNDS = ((64, 8), (64, 16))
+
+
+def _compact_supported(N: int, s: int, boost: int, min_cov: int,
+                       need_counts: bool) -> bool:
+    vol = 1
+    for g, t in _COMPACT_ROUNDS:
+        if N % (vol * g):
+            return False
+        vol *= g // t
+    # Overflow margins: survivor density is d = 8*s*boost/N per lane, so
+    # round 1 sees Poisson(64*d) distinct survivors per group and round 2
+    # Poisson(512*d).  N >= 2048*s*boost bounds those at 0.25 / 2.0,
+    # giving per-group overflow probabilities ~1e-9 / ~1e-10 — the exact
+    # overflow check catches the (astronomically rare, or non-uniform /
+    # low-entropy) exceptions and the caller falls back.  boost >= 4
+    # retries and smaller pools take the row-sort path.
+    return (
+        not need_counts
+        and min_cov == 1
+        and boost <= 2
+        and N >= 2048 * s * boost
+        and N // vol >= 4096
+    )
+
+
+def _bottom_k_compact_tail(lo, hi, all_taken, *, s: int, boost: int):
+    """Candidate compaction + selection for the counts-free path: two
+    group-extraction rounds -> flat sort of the ~N/32 candidates -> dedup
+    -> first-s selection over a bounded prefix.  Same return contract as
+    :func:`bottom_k_premasked_planes` (counts are 1-filled)."""
+    U32MAX = jnp.uint32(0xFFFFFFFF)
+    clo, chi = lo, hi
+    overflow = jnp.bool_(False)
+    for g, t in _COMPACT_ROUNDS:
+        clo, chi, ov = _group_extract_planes(clo, chi, g, t)
+        overflow = overflow | ov
+    chi, clo = _sort_planes_flat(chi, clo)
+    # survivors sort to the front (pads are U32MAX): the selection only
+    # needs a prefix large enough for every survivor incl. duplicates —
+    # 32*s*boost is 4x the expected 8*s*boost survivor count, checked
+    # exactly below
+    cap = min(chi.shape[0], max(4096, 32 * s * boost))
+    n_nonpad = _staged_sum_i64(~((chi == U32MAX) & (clo == U32MAX)))
+    chi = chi[:cap]
+    clo = clo[:cap]
+    neq = (chi[1:] != chi[:-1]) | (clo[1:] != clo[:-1])
+    is_boundary = jnp.concatenate([jnp.array([True]), neq])
+    eligible = is_boundary & ~((chi == U32MAX) & (clo == U32MAX))
+    n_eligible = jnp.sum(eligible.astype(jnp.int32))
+
+    out_idx = jnp.nonzero(eligible, size=s, fill_value=cap)[0]
+    opad = out_idx >= cap
+    out_idx = jnp.minimum(out_idx, cap - 1)
+    vals64 = (chi[out_idx].astype(jnp.uint64) << jnp.uint64(32)) | clo[
+        out_idx
+    ].astype(jnp.uint64)
+    values = jnp.where(opad, _U64MAX, vals64)
+    counts = jnp.where(opad, jnp.uint32(0), jnp.uint32(1))
+    n = jnp.sum(~opad).astype(jnp.uint32)
+    ok = (
+        ~overflow
+        & (n_nonpad <= cap)
+        & ((n_eligible >= s) | all_taken)
+    )
+    return values, counts, n, ok
+
+
 def _row_sort(yhi, ylo):
     """One-key ascending row sort (the candidate compaction).
 
@@ -130,7 +254,10 @@ def bottom_k_distinct(hashes: jax.Array, valid: jax.Array, *, s: int, min_cov: i
     return values, counts, n
 
 
-@partial(jax.jit, static_argnames=("s", "min_cov", "boost", "need_counts"))
+@partial(
+    jax.jit,
+    static_argnames=("s", "min_cov", "boost", "need_counts", "compact"),
+)
 def bottom_k_threshold_planes(
     lo: jax.Array,  # u32[N] low hash words
     hi: jax.Array,  # u32[N] high hash words
@@ -140,6 +267,7 @@ def bottom_k_threshold_planes(
     min_cov: int = 1,
     boost: int = 1,
     need_counts: bool = True,
+    compact: bool | None = None,
 ):
     """Threshold-filtered bottom-s on (lo, hi) u32 PLANES.
 
@@ -155,10 +283,11 @@ def bottom_k_threshold_planes(
     """
     U32MAX = jnp.uint32(0xFFFFFFFF)
     N = lo.shape[0]
-    # int64 scalar reductions (scalar-only, so no u64-vector perf penalty):
-    # a pool with >= 2^31 valid entries would silently wrap int32 counters
-    # and corrupt the threshold fraction / all_taken / ok logic
-    n_valid = jnp.sum(valid.astype(jnp.int64))
+    # i64 counts (staged through i32 row partials — an int64-wide vector
+    # pass is ~100x off HBM speed here): a pool with >= 2^31 valid
+    # entries would silently wrap i32 counters and corrupt the threshold
+    # fraction / all_taken / ok logic
+    n_valid = _staged_sum_i64(valid)
     frac = jnp.minimum(
         (8.0 * s * boost) / jnp.maximum(n_valid.astype(jnp.float32), 1.0),
         1.0,
@@ -172,7 +301,18 @@ def bottom_k_threshold_planes(
     )
     pad = (lo == U32MAX) & (hi == U32MAX)
     mask = valid & (hi <= t_hi) & ~pad
-    m = jnp.sum(mask.astype(jnp.int64))
+    if (
+        _compact_supported(N, s, boost, min_cov, need_counts)
+        if compact is None
+        else compact
+    ):
+        # counts-free fast path: group-extraction compaction instead of
+        # the full-pool row sort (the round-4 classic-path limiter)
+        all_taken = _staged_sum_i64(mask) >= n_valid
+        mlo = jnp.where(mask, lo, U32MAX)
+        mhi = jnp.where(mask, hi, U32MAX)
+        return _bottom_k_compact_tail(mlo, mhi, all_taken, s=s, boost=boost)
+    m = _staged_sum_i64(mask)
 
     # row width 4096 is the sweep optimum on chip (exp_bk_cols_r4:
     # 611/697/728/702 M for 1024/2048/4096/8192 at N=4M) — XLA's batched
@@ -241,7 +381,10 @@ def bottom_k_threshold_planes(
     return values, counts, n, ok
 
 
-@partial(jax.jit, static_argnames=("s", "min_cov", "need_counts"))
+@partial(
+    jax.jit,
+    static_argnames=("s", "min_cov", "need_counts", "boost", "compact"),
+)
 def bottom_k_premasked_planes(
     lo: jax.Array,  # u32[N], U32MAX on BOTH planes marks a dropped lane
     hi: jax.Array,  # u32[N]
@@ -250,20 +393,30 @@ def bottom_k_premasked_planes(
     s: int,
     min_cov: int = 1,
     need_counts: bool = True,
+    boost: int = 1,
+    compact: bool | None = None,
 ):
     """Threshold bottom-k over planes the producer already masked (the
     threshold-fused hash kernel writes U32MAX to every lane that is
     invalid, past the sequence end, or above t_hi) — starts directly at
-    the row-sort compaction, skipping the mask/where passes.
+    the candidate compaction, skipping the mask/where passes.
 
     Same returns and ``ok`` contract as
     :func:`bottom_k_threshold_planes`; the caller owns the threshold
-    (and its ``boost`` retries) and passes ``all_taken`` = saturation.
+    (and its ``boost`` retries — ``boost`` here only sizes the compact
+    path's selection prefix and gates its overflow margins) and passes
+    ``all_taken`` = saturation.
     """
     U32MAX = jnp.uint32(0xFFFFFFFF)
     N = lo.shape[0]
+    if (
+        _compact_supported(N, s, boost, min_cov, need_counts)
+        if compact is None
+        else compact
+    ):
+        return _bottom_k_compact_tail(lo, hi, all_taken, s=s, boost=boost)
     pad = (lo == U32MAX) & (hi == U32MAX)
-    m = jnp.sum((~pad).astype(jnp.int64))
+    m = _staged_sum_i64(~pad)
 
     if N % 4096 == 0:
         cols = 4096

@@ -322,7 +322,7 @@ def encode_seq(seq: str | bytes) -> np.ndarray:
 
 @partial(
     jax.jit,
-    static_argnames=("k", "s", "noncanonical", "preserve_case", "seed", "min_cov", "boost", "need_counts"),
+    static_argnames=("k", "s", "noncanonical", "preserve_case", "seed", "min_cov", "boost", "need_counts", "bk_compact"),
 )
 def classic_sketch_device(
     seq: jax.Array,  # u8[N]
@@ -336,6 +336,7 @@ def classic_sketch_device(
     min_cov: int = 1,
     boost: int = 1,
     need_counts: bool | None = None,
+    bk_compact: bool | None = None,
 ):
     """Fused classic sketch: sequence bytes -> bottom-s MinHash, one jit.
 
@@ -396,7 +397,7 @@ def classic_sketch_device(
         )
         return bottom_k_premasked_planes(
             mlo, mhi, jnp.bool_(sat), s=s, min_cov=min_cov,
-            need_counts=need_counts,
+            need_counts=need_counts, boost=boost, compact=bk_compact,
         )
     h1l, h1h, vw = kmer_hashes_route_planes(
         code, k=k, noncanonical=noncanonical, seed=seed
@@ -405,5 +406,5 @@ def classic_sketch_device(
     valid = vw & (pos <= length.astype(jnp.int32) - k)
     return bottom_k_threshold_planes(
         h1l, h1h, valid, s=s, min_cov=min_cov, boost=boost,
-        need_counts=need_counts,
+        need_counts=need_counts, compact=bk_compact,
     )

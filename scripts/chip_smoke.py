@@ -245,6 +245,33 @@ def main() -> int:
 
     guard("bottomk-nocounts", _bottomk_nocounts_case)
 
+    def _bottomk_compact_case():
+        # round-5 group-extraction compaction (s small enough for the
+        # 2048*s density gate at this pool size) — u32 min-reduce
+        # semantics on chip vs the host model
+        from fpmash_tpu.ops.bottomk import _compact_supported, bottom_k_threshold
+
+        N, s = 1 << 18, 64
+        assert _compact_supported(N, s, 1, 1, False)
+        pool = rng.integers(1, 1 << 63, size=N, dtype=np.uint64)
+        pool[:1000] = pool[1000:2000]  # cross-group duplicates
+        t0 = time.perf_counter()
+        vals, counts, nv, ok = jax.device_get(
+            bottom_k_threshold(
+                jnp.asarray(pool), jnp.ones(N, bool), s=s, need_counts=False
+            )
+        )
+        wv, _ = bottom_k_host(pool, s)
+        assert bool(ok)
+        assert all(int(c) == 1 for c in counts[: len(wv)])
+        check(
+            f"bottomk-compact ({time.perf_counter()-t0:.0f}s)",
+            vals[: len(wv)],
+            list(map(int, wv)),
+        )
+
+    guard("bottomk-compact", _bottomk_compact_case)
+
     def _flat_words_case():
         # device-side window-word builder + words-entry fused kernel
         # (the sketch --direct-fp flat-stream route)

@@ -1,0 +1,121 @@
+"""Round-5 bottom-k A/B: row-sort compaction vs group-extraction.
+
+The round-4 verdict: the classic pipeline is bottom-k-bound (793 M vs a
+4.17 G hash sub-rate), with the full-pool one-key ROW SORT as the
+presumed limiter.  Round 5 replaces it (need_counts=False path) with two
+rounds of per-group iterated min-extraction — reduces + masks only, no
+sort until the ~N/32 candidate volume.
+
+Interleaved A/B in ONE process (memory: separate-process slope runs of
+the same kernel swing 0.5-1.5 G): compile all variants first, then
+alternate timed reps; rate = slope between two chain lengths.
+
+Usage: python scripts/exp_bk_r5.py {bk,classic} [N] [I1] [I2]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> int:
+    which = sys.argv[1] if len(sys.argv) > 1 else "bk"
+    N = int(sys.argv[2]) if len(sys.argv) > 2 else 1 << 22
+    I1 = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+    I2 = int(sys.argv[4]) if len(sys.argv) > 4 else 16
+
+    import jax
+    import jax.numpy as jnp
+
+    print(f"which={which} N={N} backend={jax.default_backend()}", flush=True)
+    rng = np.random.default_rng(2)
+
+    variants = {}
+    if which == "bk":
+        from fpmash_tpu.ops.bottomk import bottom_k_threshold_planes
+
+        plo = jnp.asarray(
+            rng.integers(0, 1 << 32, size=N, dtype=np.uint64).astype(np.uint32)
+        )
+        phi = jnp.asarray(
+            rng.integers(0, 1 << 32, size=N, dtype=np.uint64).astype(np.uint32)
+        )
+
+        def make_bk(compact, iters):
+            @jax.jit
+            def bench(plo, phi):
+                t = jnp.uint32(0)
+                acc = jnp.uint64(0)
+                for _ in range(iters):
+                    vals = bottom_k_threshold_planes(
+                        plo ^ t, phi, (plo ^ t) > 0, s=1000,
+                        need_counts=False, compact=compact,
+                    )[0]
+                    t = (vals[0] & jnp.uint64(1)).astype(jnp.uint32)
+                    acc = acc + vals.sum()
+                return acc
+
+            return bench, (plo, phi)
+
+        for name, compact in (("row", False), ("cmp", True)):
+            variants[name] = {i: make_bk(compact, i) for i in (I1, I2)}
+    else:
+        from fpmash_tpu.ops.kmers import classic_sketch_device
+
+        lut = np.frombuffer(b"ACGT", dtype=np.uint8)
+        seq = jnp.asarray(lut[rng.integers(0, 4, size=N)])
+        seq2 = jnp.asarray(lut[rng.integers(0, 4, size=N)])
+        length = jnp.int32(N)
+
+        def make_classic(compact, iters):
+            @jax.jit
+            def bench(seq, seq2):
+                t = jnp.uint8(0)
+                acc = jnp.uint64(0)
+                for _ in range(iters):
+                    sv = jnp.where(t > 0, seq2, seq)
+                    vals, counts, n, ok = classic_sketch_device(
+                        sv, length, k=21, s=1000, seed=42, bk_compact=compact
+                    )
+                    t = (vals[0] & jnp.uint64(1)).astype(jnp.uint8)
+                    acc = acc + vals.sum()
+                return acc
+
+            return bench, (seq, seq2)
+
+        for name, compact in (("row", False), ("cmp", True)):
+            variants[name] = {i: make_classic(compact, i) for i in (I1, I2)}
+
+    # compile everything first
+    for name, by_iter in variants.items():
+        for i, (fn, args) in by_iter.items():
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(*args))
+            print(f"  compile {name}/{i}: {time.perf_counter()-t0:.1f}s", flush=True)
+
+    # interleaved timed reps
+    REPS = 4
+    best = {(name, i): float("inf") for name in variants for i in (I1, I2)}
+    for _ in range(REPS):
+        for name, by_iter in variants.items():
+            for i, (fn, args) in by_iter.items():
+                t0 = time.perf_counter()
+                jax.device_get(fn(*args))
+                best[(name, i)] = min(best[(name, i)], time.perf_counter() - t0)
+
+    for name in variants:
+        t1, t2 = best[(name, I1)], best[(name, I2)]
+        rate = N * (I2 - I1) / max(t2 - t1, 1e-9)
+        print(
+            f"{name}: t({I1})={t1*1e3:.1f}ms t({I2})={t2*1e3:.1f}ms "
+            f"slope={rate/1e9:.3f} G/s",
+            flush=True,
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -317,6 +317,48 @@ def test_classic_direct_route_multichunk(monkeypatch):
     assert np.array_equal(gc2.astype(np.uint32), wc)
 
 
+def test_classic_direct_route_tail_sliver_and_chunk_fallback(monkeypatch):
+    """Round-5 two-phase dispatch: (a) a tail sliver shorter than k is
+    skipped without sinking the route; (b) a chunk that fails the boost
+    ladder (here: nearly all-N) falls back to an exact pool pass over
+    just that chunk instead of abandoning all completed chunk work."""
+    from fpmash_tpu.models import sketch as sk
+    from fpmash_tpu.ops import kmers_pallas as kp
+    from fpmash_tpu.ops.bottomk import bottom_k_host
+
+    monkeypatch.setenv("FPMASH_DEVICES", "1")
+    _mock_tpu(monkeypatch)
+    monkeypatch.setattr(sk, "_DIRECT_CHUNK", 8192)
+    orig = kp.kmer_hashes_packed_masked_planes
+    monkeypatch.setattr(
+        kp,
+        "kmer_hashes_packed_masked_planes",
+        lambda *a, **kw: orig(*a, **{**kw, "interpret": True}),
+    )
+    # the slab (non-masked) kernel backs the kmer_hashes fallback pass
+    orig2 = kp.kmer_hashes_slab_pallas
+    monkeypatch.setattr(
+        kp,
+        "kmer_hashes_slab_pallas",
+        lambda *a, **kw: orig2(*a, **{**kw, "interpret": True}),
+    )
+    rng = np.random.default_rng(43)
+    step = 8192 - 20
+    # chunk 0 random, chunk 1 nearly all N (fails the ladder), tail
+    # sliver of k-2 bases (zero possible windows -> skipped)
+    seq = (
+        "".join("ACGT"[c] for c in rng.integers(0, 4, size=step))
+        + "N" * (step - 40)
+        + "".join("ACGT"[c] for c in rng.integers(0, 4, size=40))
+        + "".join("ACGT"[c] for c in rng.integers(0, 4, size=19))
+    )
+    p = sk.SketchParams(kmer_size=21, sketch_size=64)
+    got = sk._classic_sketch_direct([seq], p, "auto")
+    assert got is not None, "direct route abandoned despite usable chunks"
+    want = bottom_k_host(sk._kmer_hash_pool([seq], p, "auto"), 64)[0]
+    assert np.array_equal(got[0], want)
+
+
 def test_classic_direct_route_all_invalid(monkeypatch):
     """An all-N sequence (no valid windows) must not crash the direct
     route's merge (saturated-empty chunks return ok with 0 candidates)."""

@@ -224,3 +224,85 @@ def test_bottom_k_threshold_matches_host():
     n = int(n)
     assert np.array_equal(np.asarray(v)[:n], wv)
     assert np.array_equal(np.asarray(c)[:n], wc)
+
+
+def test_bottom_k_compact_path_matches_host():
+    """The need_counts=False group-extraction compaction (the round-5
+    classic-path fast tail) == full-sort values, with exact overflow
+    detection and the all_taken saturation contract."""
+    import jax.numpy as jnp
+
+    from fpmash_tpu.ops.bottomk import (
+        _compact_supported,
+        bottom_k_host,
+        bottom_k_threshold,
+    )
+
+    rng = np.random.default_rng(7)
+    N = 1 << 18
+    s = 64  # N >= 2048*s so the density gate admits the compact path
+    assert _compact_supported(N, s, 1, 1, False)
+    assert not _compact_supported(N, s, 8, 1, False)  # boost>2: row sort
+    assert not _compact_supported(N, s, 1, 1, True)  # counts: row sort
+    assert not _compact_supported(N, 1000, 1, 1, False)  # too dense
+
+    # uniform pool + duplicates (dup copies land in distinct groups)
+    base = rng.integers(1, 1 << 63, size=N - 6000, dtype=np.uint64)
+    pool = np.concatenate([base, base[:6000]])
+    rng.shuffle(pool)
+    v, c, n, ok = bottom_k_threshold(
+        jnp.asarray(pool), jnp.ones(N, bool), s=s, need_counts=False
+    )
+    assert bool(ok)
+    wv, _ = bottom_k_host(pool, s, 1)
+    n = int(n)
+    assert np.array_equal(np.asarray(v)[:n], wv)
+    assert (np.asarray(c)[:n] == 1).all()  # counts unused -> ones contract
+
+    # partial validity mask
+    valid = rng.random(N) < 0.7
+    v, c, n, ok = bottom_k_threshold(
+        jnp.asarray(pool), jnp.asarray(valid), s=s, need_counts=False
+    )
+    assert bool(ok)
+    wv, _ = bottom_k_host(pool[valid], s, 1)
+    assert np.array_equal(np.asarray(v)[: int(n)], wv)
+
+    # an adversarial group: >8 distinct survivors packed into one 64-lane
+    # group must trip the exact overflow check (ok=False), never drop
+    # survivors silently
+    pool2 = rng.integers(1 << 40, 1 << 63, size=N, dtype=np.uint64)
+    pool2[:16] = np.arange(1, 17, dtype=np.uint64)  # 16 tiny values, group 0
+    v, c, n, ok = bottom_k_threshold(
+        jnp.asarray(pool2), jnp.ones(N, bool), s=s, need_counts=False
+    )
+    if bool(ok):  # only acceptable if nothing was dropped
+        wv, _ = bottom_k_host(pool2, s, 1)
+        assert np.array_equal(np.asarray(v)[: int(n)], wv)
+
+    # low-entropy saturation (64 distinct values, huge multiplicity):
+    # most groups hold > 8 distinct survivors, so the compact path must
+    # conservatively report ok=False (the caller's boost-8 retry takes
+    # the exact row-sort path) — and the full _bottom_k ladder must
+    # return exact results end to end
+    small_vals = rng.integers(1, 2000, size=64, dtype=np.uint64)
+    pool3 = np.repeat(small_vals, N // 64)
+    rng.shuffle(pool3)
+    v, c, n, ok = bottom_k_threshold(
+        jnp.asarray(pool3), jnp.ones(N, bool), s=s, need_counts=False
+    )
+    wv, _ = bottom_k_host(pool3, s, 1)
+    if bool(ok):
+        assert np.array_equal(np.asarray(v)[: int(n)], wv)
+    from fpmash_tpu.models.sketch import SketchParams, _bottom_k
+
+    lv, _ = _bottom_k(pool3, SketchParams(sketch_size=s), "jax")
+    assert np.array_equal(lv, wv)
+
+    # single-value degenerate pool: duplicates collapse in-group, no
+    # overflow, saturation completes
+    pool4 = np.full(N, 12345, np.uint64)
+    v, c, n, ok = bottom_k_threshold(
+        jnp.asarray(pool4), jnp.ones(N, bool), s=s, need_counts=False
+    )
+    assert bool(ok) and int(n) == 1 and int(np.asarray(v)[0]) == 12345
