@@ -911,11 +911,15 @@ def _classic_sketch_direct(seqs: list[str], p: SketchParams, backend: str):
     size = _DIRECT_CHUNK
     step = size - (k - 1)
     starts = list(range(0, n, step))
-    if p.min_cov > 1:
-        # the chunk's s candidate slots can be crowded by count-1 values,
-        # silently under-collecting min_cov-eligible ones (even single
-        # chunk); the pool path applies min_cov over the full pool exactly
+    if p.bloom_bytes > 0 and p.reads:
+        # Bloom admission is an order-dependent streaming approximation
+        # (-b, MinHashHeap.cpp:78-95); only the pool path reproduces it
         return None
+    if p.min_cov > 1:
+        # reads-mode exact route: chunks return ALL sub-threshold
+        # survivors with counts (collect-all contract), min_cov applies
+        # after the cross-chunk merge
+        return _direct_reads_sketch(blob, starts, size, step, n, p)
     need_counts = bool(p.counts or p.min_cov > 1 or p.target_cov > 0)
 
     # chunks are data-independent until the host merge, so they
@@ -1015,6 +1019,109 @@ def _classic_sketch_direct(seqs: list[str], p: SketchParams, backend: str):
     keep = csum >= p.min_cov
     vals, csum = vals[keep], csum[keep]
     return vals[: p.sketch_size], csum[: p.sketch_size].astype(np.uint32)
+
+
+def _direct_reads_sketch(blob, starts, size, step, n, p: SketchParams):
+    """Reads-mode (min_cov > 1) fused direct route.
+
+    The reference streams reads through MinHashHeap with count-gated
+    admission (Sketch.cpp:1299-1488, MinHashHeap.cpp:78-95); the round-4
+    rebuild gated this off the device route and downloaded the ENTIRE
+    hash pool.  Distributive reformulation: every chunk returns ALL its
+    distinct sub-threshold hashes with exact counts (collect-all
+    contract, threshold shared across chunks since it is sized by the
+    static chunk shape), counts sum across chunks, min_cov filters AFTER
+    the merge, and the bottom-s of the filtered values is exact whenever
+    >= s values survive the filter (every unseen value lies above the
+    threshold) or the threshold saturated.  Under-collection retries the
+    whole wave at a higher boost; the pool path remains the final
+    fallback.  Returns ``(values, counts)`` or ``None``.
+    """
+    import jax
+
+    from fpmash_tpu.ops.kmers import classic_sketch_device
+    from fpmash_tpu.parallel.sharded import visible_device_count
+
+    k = p.kmer_size
+    s = p.sketch_size
+    devices = jax.devices()[: visible_device_count()]
+    starts = [pos for pos in starts if min(pos + size, n) - pos >= k]
+
+    def dispatch_all(boost, slots):
+        wave = []
+        for ci, pos in enumerate(starts):
+            end = min(pos + size, n)
+            buf = np.zeros(size, np.uint8)
+            buf[: end - pos] = np.frombuffer(blob[pos:end], np.uint8)
+            length = (end - pos) if end == n else (step + k - 1)
+            dev = devices[ci % len(devices)]
+            buf_d = jax.device_put(buf, dev)
+            len_d = jax.device_put(np.int32(length), dev)
+            wave.append(
+                classic_sketch_device(
+                    buf_d,
+                    len_d,
+                    k=k,
+                    s=s,
+                    noncanonical=p.noncanonical,
+                    preserve_case=p.preserve_case,
+                    seed=p.seed,
+                    boost=boost,
+                    out_slots=slots,
+                )
+            )
+        return wave
+
+    try:
+        for boost in (1, 4, 16):
+            slots = 16 * s * boost
+            sat = (8.0 * s * boost) / max(size - (k - 1), 1) >= 1.0
+            wave = dispatch_all(boost, slots)
+            chunks = []
+            for values, counts, nv, ok in wave:
+                if not bool(ok):  # slot overflow: whole wave retries
+                    chunks = None
+                    break
+                nv = int(nv)
+                chunks.append(
+                    (np.asarray(values)[:nv], np.asarray(counts)[:nv])
+                )
+            if chunks is None:
+                continue
+            v = (
+                np.concatenate([x[0] for x in chunks])
+                if chunks
+                else np.zeros(0, np.uint64)
+            )
+            c = (
+                np.concatenate([x[1] for x in chunks]).astype(np.uint64)
+                if chunks
+                else np.zeros(0, np.uint64)
+            )
+            if len(v):
+                order = np.argsort(v, kind="stable")
+                v, c = v[order], c[order]
+                is_start = np.concatenate([[True], v[1:] != v[:-1]])
+                grp = np.cumsum(is_start) - 1
+                csum = np.zeros(int(grp[-1]) + 1, np.uint64)
+                np.add.at(csum, grp, c)
+                vals = v[is_start]
+                keep = csum >= p.min_cov
+                vals_f, counts_f = vals[keep], csum[keep]
+            else:
+                vals_f = np.zeros(0, np.uint64)
+                counts_f = np.zeros(0, np.uint64)
+            if len(vals_f) >= s or sat:
+                return vals_f[:s], counts_f[:s].astype(np.uint32)
+    except Exception as e:
+        from fpmash_tpu.utils.trace import warn
+
+        warn(
+            f"sketch: direct reads-mode route failed at run time "
+            f"({type(e).__name__}), falling back to the pool path"
+        )
+        return None
+    return None
 
 
 def _chunk_pool_bottom_k(

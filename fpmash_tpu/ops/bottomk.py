@@ -383,7 +383,9 @@ def bottom_k_threshold_planes(
 
 @partial(
     jax.jit,
-    static_argnames=("s", "min_cov", "need_counts", "boost", "compact"),
+    static_argnames=(
+        "s", "min_cov", "need_counts", "boost", "compact", "collect_all",
+    ),
 )
 def bottom_k_premasked_planes(
     lo: jax.Array,  # u32[N], U32MAX on BOTH planes marks a dropped lane
@@ -395,6 +397,7 @@ def bottom_k_premasked_planes(
     need_counts: bool = True,
     boost: int = 1,
     compact: bool | None = None,
+    collect_all: bool = False,
 ):
     """Threshold bottom-k over planes the producer already masked (the
     threshold-fused hash kernel writes U32MAX to every lane that is
@@ -406,10 +409,18 @@ def bottom_k_premasked_planes(
     (and its ``boost`` retries — ``boost`` here only sizes the compact
     path's selection prefix and gates its overflow margins) and passes
     ``all_taken`` = saturation.
+
+    ``collect_all=True`` flips the contract for the reads-mode chunk
+    merge (Sketch.cpp:1299-1488 + MinHashHeap.cpp:78-95 semantics built
+    distributively): return EVERY distinct sub-threshold survivor with
+    its exact count — ``s`` is then the slot capacity, ``ok`` means "no
+    survivor was truncated" (``n_eligible <= s``) rather than "collected
+    at least s".  The caller sums counts across chunks, applies min_cov
+    AFTER the merge, and checks global sufficiency itself.
     """
     U32MAX = jnp.uint32(0xFFFFFFFF)
     N = lo.shape[0]
-    if (
+    if not collect_all and (
         _compact_supported(N, s, boost, min_cov, need_counts)
         if compact is None
         else compact
@@ -467,7 +478,10 @@ def bottom_k_premasked_planes(
         run_count[out_idx] if run_count is not None else jnp.uint32(1),
     )
     n = jnp.sum(~opad).astype(jnp.uint32)
-    ok = compaction_ok & ((n_eligible >= s) | all_taken)
+    if collect_all:
+        ok = compaction_ok & (n_eligible <= s)
+    else:
+        ok = compaction_ok & ((n_eligible >= s) | all_taken)
     return values, counts, n, ok
 
 

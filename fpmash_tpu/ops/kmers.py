@@ -322,7 +322,7 @@ def encode_seq(seq: str | bytes) -> np.ndarray:
 
 @partial(
     jax.jit,
-    static_argnames=("k", "s", "noncanonical", "preserve_case", "seed", "min_cov", "boost", "need_counts", "bk_compact"),
+    static_argnames=("k", "s", "noncanonical", "preserve_case", "seed", "min_cov", "boost", "need_counts", "bk_compact", "out_slots"),
 )
 def classic_sketch_device(
     seq: jax.Array,  # u8[N]
@@ -337,6 +337,7 @@ def classic_sketch_device(
     boost: int = 1,
     need_counts: bool | None = None,
     bk_compact: bool | None = None,
+    out_slots: int | None = None,
 ):
     """Fused classic sketch: sequence bytes -> bottom-s MinHash, one jit.
 
@@ -395,6 +396,15 @@ def classic_sketch_device(
         mlo, mhi = kmer_hashes_packed_masked_planes(
             code, t_hi, length, k=k, noncanonical=noncanonical, seed=seed
         )
+        if out_slots is not None:
+            # reads-mode collect-all contract: the threshold above is
+            # still sized by s*boost, but EVERY sub-threshold survivor
+            # comes back with its exact count (min_cov applies after the
+            # caller's cross-chunk merge) — see bottom_k_premasked_planes
+            return bottom_k_premasked_planes(
+                mlo, mhi, jnp.bool_(sat), s=out_slots, min_cov=1,
+                need_counts=True, boost=boost, collect_all=True,
+            )
         return bottom_k_premasked_planes(
             mlo, mhi, jnp.bool_(sat), s=s, min_cov=min_cov,
             need_counts=need_counts, boost=boost, compact=bk_compact,

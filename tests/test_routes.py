@@ -317,6 +317,58 @@ def test_classic_direct_route_multichunk(monkeypatch):
     assert np.array_equal(gc2.astype(np.uint32), wc)
 
 
+def test_direct_reads_mode_route_multichunk(monkeypatch):
+    """min_cov=2 reads-mode direct route (collect-all chunks + merged
+    counts + post-merge filter) == the exact pool path, including values
+    whose copies are split across chunk boundaries."""
+    from fpmash_tpu.models import sketch as sk
+    from fpmash_tpu.ops import kmers_pallas as kp
+    from fpmash_tpu.ops.bottomk import bottom_k_host
+
+    monkeypatch.setenv("FPMASH_DEVICES", "1")
+    _mock_tpu(monkeypatch)
+    monkeypatch.setattr(sk, "_DIRECT_CHUNK", 8192)
+    orig = kp.kmer_hashes_packed_masked_planes
+    monkeypatch.setattr(
+        kp,
+        "kmer_hashes_packed_masked_planes",
+        lambda *a, **kw: orig(*a, **{**kw, "interpret": True}),
+    )
+    rng = np.random.default_rng(47)
+    base = "".join("ACGT"[c] for c in rng.integers(0, 4, size=9000))
+    # copies of the first 9k land in chunks 0/1 and 2/3: min_cov=2
+    # admission only works if counts merge across chunks
+    seq = base + "".join("ACGT"[c] for c in rng.integers(0, 4, size=3000)) + base
+    p = sk.SketchParams(kmer_size=21, sketch_size=64, min_cov=2, reads=True,
+                        counts=True)
+    want_v, want_c = bottom_k_host(sk._kmer_hash_pool([seq], p, "auto"), 64, 2)
+    assert len(want_v) == 64  # the duplicated region provides plenty
+
+    got = sk._classic_sketch_direct([seq], p, "auto")
+    assert got is not None, "reads-mode direct route not taken"
+    gv, gc = got
+    assert np.array_equal(gv, want_v)
+    assert np.array_equal(gc.astype(np.uint32), want_c)
+
+    # multi-device round-robin parity
+    monkeypatch.setenv("FPMASH_DEVICES", "8")
+    got8 = sk._classic_sketch_direct([seq], p, "auto")
+    assert got8 is not None
+    assert np.array_equal(got8[0], want_v)
+    assert np.array_equal(got8[1].astype(np.uint32), want_c)
+
+    # a low-multiplicity pool (few values reach min_cov): the ladder must
+    # either produce the exact (short) result via saturation or fall back
+    # with None — never a wrong sketch
+    seq2 = "".join("ACGT"[c] for c in rng.integers(0, 4, size=20000))
+    monkeypatch.setenv("FPMASH_DEVICES", "1")
+    w2v, w2c = bottom_k_host(sk._kmer_hash_pool([seq2], p, "auto"), 64, 2)
+    got2 = sk._classic_sketch_direct([seq2], p, "auto")
+    if got2 is not None:
+        assert np.array_equal(got2[0], w2v)
+        assert np.array_equal(got2[1].astype(np.uint32), w2c)
+
+
 def test_classic_direct_route_tail_sliver_and_chunk_fallback(monkeypatch):
     """Round-5 two-phase dispatch: (a) a tail sliver shorter than k is
     skipped without sinking the route; (b) a chunk that fails the boost
