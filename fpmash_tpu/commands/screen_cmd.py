@@ -26,7 +26,7 @@ import sys
 import numpy as np
 
 from fpmash_tpu.commands.common import expand_inputs
-from fpmash_tpu.models.sketch import Sketch, SketchParams, _kmer_hash_pool
+from fpmash_tpu.models.sketch import Sketch, SketchParams, _kmer_distinct_counts
 from fpmash_tpu.scalar.stats import format_g, screen_pvalue
 
 
@@ -108,10 +108,10 @@ def _run_streaming(args, ref: Sketch, cat: np.ndarray, seg_len: np.ndarray) -> i
                     seqs.extend(six_frame_translations(rec.seq, p.preserve_case))
                 else:
                     seqs.append(rec.seq)
-    pool = _kmer_hash_pool(seqs, p, args.backend)
-    pool = np.asarray(pool, np.uint64)
-
-    values, counts = np.unique(pool, return_counts=True)
+    # distinct query-hash values + multiplicities, computed ON DEVICE when
+    # possible — only the distinct prefix comes down, never the 8 B/base
+    # pool (round-4 weak spot; CommandScreen.cpp:81-151 scale rationale)
+    values, counts = _kmer_distinct_counts(seqs, p, args.backend)
 
     # Upstream's p-value uses the *query stream's* cardinality estimate as
     # setSize (the same estimateSetSize that reads-mode sketches store as

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import os
 from dataclasses import dataclass, field, replace
+from functools import partial
 
 import numpy as np
 
@@ -1235,6 +1236,127 @@ def _kmer_hash_pool(seqs: list[str], p: SketchParams, backend: str) -> np.ndarra
     if not p.use64:
         out = out & np.uint64(0xFFFFFFFF)
     return out
+
+
+def _kmer_distinct_counts(seqs: list[str], p: SketchParams, backend: str):
+    """Distinct hash values + multiplicities of all valid k-mers.
+
+    Device route (TPU, DNA alphabet, k <= 32): the pool is hashed,
+    sorted, and run-length encoded ON DEVICE (ops.bottomk.
+    distinct_counts_planes) and only the distinct prefix comes down —
+    `screen`'s query side used to download the whole 8 B/base pool and
+    np.unique it on the host (CommandScreen.cpp:81-151 scale rationale).
+    Returns ``(values u64 ascending, counts u32)``.
+    """
+    import jax
+
+    total = sum(map(len, seqs))
+    device_ok = (
+        backend not in ("scalar",)
+        and jax.default_backend() != "cpu"
+        and set(p.alphabet) == set("ACGT")
+        and p.kmer_size <= 32
+        and total >= (1 << 16)
+    )
+    if device_ok:
+        try:
+            return _kmer_distinct_counts_device(seqs, p)
+        except Exception as e:
+            from fpmash_tpu.utils.trace import warn
+
+            warn(
+                f"screen: device distinct-count route failed "
+                f"({type(e).__name__}), falling back to the host pool path"
+            )
+    pool = np.asarray(_kmer_hash_pool(seqs, p, backend), np.uint64)
+    return np.unique(pool, return_counts=True)
+
+
+def _kmer_distinct_counts_device(seqs: list[str], p: SketchParams):
+    import jax.numpy as jnp
+
+    k = p.kmer_size
+    sep = b"\x00" * (k - 1)
+    blob = sep.join(
+        s.encode("ascii", "replace") if isinstance(s, str) else bytes(s)
+        for s in seqs
+    )
+    n = len(blob)
+    N = _round_up_pow2(n, 1 << 16)
+    buf = np.zeros(N, np.uint8)
+    buf[:n] = np.frombuffer(blob, np.uint8)
+
+    # distinct <= N/4 holds for the deep-coverage mixtures screen targets;
+    # low-coverage pools overflow the cap and retry at full width
+    for cap in (max(4096, N // 4), N):
+        vlo, vhi, counts, n_distinct, ok = _distinct_counts_run(
+            jnp.asarray(buf),
+            jnp.int32(n),
+            k=k,
+            noncanonical=p.noncanonical,
+            preserve_case=p.preserve_case,
+            seed=p.seed,
+            use64=p.use64,
+            cap=cap,
+        )
+        if bool(ok):
+            nd = int(n_distinct)
+            # only the distinct prefix leaves the device
+            vlo_h = np.asarray(vlo[:nd], np.uint64)
+            vhi_h = np.asarray(vhi[:nd], np.uint64)
+            return (vhi_h << np.uint64(32)) | vlo_h, np.asarray(counts[:nd])
+    raise RuntimeError("distinct-count cap overflow")  # pragma: no cover
+
+
+_distinct_counts_jit = None
+
+
+def _distinct_counts_run(
+    seq_u8, length, *, k, noncanonical, preserve_case, seed, use64, cap
+):
+    """Jitted hash -> sort -> run-length distinct counter (built once;
+    the jit cache then keys on the static args and shapes)."""
+    global _distinct_counts_jit
+    if _distinct_counts_jit is None:
+        import jax
+        import jax.numpy as jnp
+
+        from fpmash_tpu.ops.bottomk import distinct_counts_planes
+        from fpmash_tpu.ops.kmers_pallas import kmer_hashes_route_planes
+
+        @partial(
+            jax.jit,
+            static_argnames=(
+                "k", "noncanonical", "preserve_case", "seed", "use64", "cap"
+            ),
+        )
+        def run(
+            seq_u8, length, *, k, noncanonical, preserve_case, seed, use64, cap
+        ):
+            N = seq_u8.shape[0]
+            sequ = seq_u8
+            if not preserve_case:
+                lower = (sequ > 96) & (sequ < 123)
+                sequ = jnp.where(lower, sequ - 32, sequ)
+            code = jnp.full((N,), 4, jnp.uint32)
+            for v, ch in enumerate(b"ACGT"):
+                code = jnp.where(sequ == jnp.uint8(ch), jnp.uint32(v), code)
+            h1l, h1h, vw = kmer_hashes_route_planes(
+                code, k=k, noncanonical=noncanonical, seed=seed
+            )
+            pos = jnp.arange(N, dtype=jnp.int32)
+            valid = vw & (pos <= length - k)
+            if not use64:
+                # 32-bit parameters: hashes are the low plane only, so
+                # distinctness must collapse the hi plane
+                h1h = jnp.zeros_like(h1h)
+            return distinct_counts_planes(h1l, h1h, valid, cap=cap)
+
+        _distinct_counts_jit = run
+    return _distinct_counts_jit(
+        seq_u8, length, k=k, noncanonical=noncanonical,
+        preserve_case=preserve_case, seed=seed, use64=use64, cap=cap,
+    )
 
 
 def _position_hashes(seq: str, p: SketchParams, backend: str) -> np.ndarray:

@@ -485,6 +485,56 @@ def bottom_k_premasked_planes(
     return values, counts, n, ok
 
 
+@partial(jax.jit, static_argnames=("cap",))
+def distinct_counts_planes(
+    lo: jax.Array,  # u32[N] low hash words
+    hi: jax.Array,  # u32[N] high hash words
+    valid: jax.Array,  # bool[N]
+    *,
+    cap: int,
+):
+    """ALL distinct hash values + multiplicities of a pool, on device.
+
+    Backs `screen`'s query-side counting (CommandScreen.cpp:81-151): the
+    reference hashes every query k-mer into a host hash table; the
+    round-4 rebuild downloaded the full 8 B/base pool and ran np.unique
+    on the host.  Here the pool is sorted as u32 planes (batched row
+    sorts + bitonic merge), run-length encoded, and compacted to at most
+    ``cap`` distinct values — only the distinct prefix ever leaves the
+    device.
+
+    Returns ``(vlo u32[cap], vhi u32[cap], counts u32[cap], n_distinct
+    i64, ok bool)`` with values ascending; ``ok=False`` means the pool
+    held more than ``cap`` distinct values (caller falls back to the
+    full download).  The u64 recombine is left to the caller's host side
+    (u64-wide device ops are ~100x off HBM speed here).
+    """
+    U32MAX = jnp.uint32(0xFFFFFFFF)
+    N = lo.shape[0]
+    mlo = jnp.where(valid, lo, U32MAX)
+    mhi = jnp.where(valid, hi, U32MAX)
+    shi, slo = _sort_planes_flat(mhi, mlo)
+    neq = (shi[1:] != shi[:-1]) | (slo[1:] != slo[:-1])
+    is_boundary = jnp.concatenate([jnp.array([True]), neq])
+    is_start = is_boundary & ~((shi == U32MAX) & (slo == U32MAX))
+    n_distinct = _staged_sum_i64(is_start)
+
+    idx_arr = jnp.arange(N, dtype=jnp.int32)
+    boundary_or_inf = jnp.where(is_boundary, idx_arr, N)
+    nxt = jax.lax.cummin(boundary_or_inf[::-1])[::-1]
+    nxt = jnp.concatenate([nxt[1:], jnp.array([N], jnp.int32)])
+    run_count = jnp.where(is_start, nxt - idx_arr, 0).astype(jnp.uint32)
+
+    out_idx = jnp.nonzero(is_start, size=cap, fill_value=N)[0]
+    opad = out_idx >= N
+    out_idx = jnp.minimum(out_idx, N - 1)
+    vlo = jnp.where(opad, U32MAX, slo[out_idx])
+    vhi = jnp.where(opad, U32MAX, shi[out_idx])
+    counts = jnp.where(opad, jnp.uint32(0), run_count[out_idx])
+    ok = n_distinct <= cap
+    return vlo, vhi, counts, n_distinct, ok
+
+
 @partial(jax.jit, static_argnames=("s", "min_cov", "boost", "need_counts"))
 def bottom_k_threshold(
     hashes: jax.Array,

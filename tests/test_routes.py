@@ -433,6 +433,37 @@ def test_classic_direct_route_all_invalid(monkeypatch):
         assert len(gv) == 0
 
 
+def test_screen_distinct_counts_device_route(monkeypatch):
+    """screen's query-side distinct counting on device (sort + run-length
+    + prefix download) == host np.unique over the pool, incl. duplicates,
+    invalid characters, record separators, and the 32-bit-hash collapse."""
+    from fpmash_tpu.models import sketch as sk
+    from fpmash_tpu.ops import kmers_pallas as kp
+
+    _mock_tpu(monkeypatch)
+    for name in ("kmer_hashes_packed_pallas_planes", "kmer_hashes_slab_pallas_planes"):
+        orig = getattr(kp, name)
+        monkeypatch.setattr(
+            kp, name,
+            lambda *a, _o=orig, **kw: _o(*a, **{**kw, "interpret": True}),
+        )
+    rng = np.random.default_rng(53)
+    chars = np.array(list("ACGTN"))
+    seqs = [
+        "".join(rng.choice(chars, 40000, p=[0.24, 0.24, 0.24, 0.24, 0.04])),
+        "".join(rng.choice(chars, 30000, p=[0.25] * 4 + [0.0])),
+    ]
+    seqs.append(seqs[1][:20000])  # heavy duplication across records
+    p = sk.SketchParams(kmer_size=21)
+    want_v, want_c = np.unique(
+        np.asarray(sk._kmer_hash_pool(seqs, p, "auto"), np.uint64),
+        return_counts=True,
+    )
+    got_v, got_c = sk._kmer_distinct_counts_device(seqs, p)
+    assert np.array_equal(got_v, want_v)
+    assert np.array_equal(got_c.astype(np.int64), want_c)
+
+
 def test_bottom_k_runtime_fallback_chain(monkeypatch, capsys):
     """A runtime failure in the threshold kernel (the relay's
     executable-shape trap surfaces this way) must fall through to the
