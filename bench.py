@@ -152,6 +152,14 @@ def main() -> int:
         except Exception as e:  # pragma: no cover
             extra["kmer_error"] = type(e).__name__
         try:
+            extra["reads_mode_bases_per_s"] = round(_bench_reads_mode())
+        except Exception as e:  # pragma: no cover
+            extra["reads_mode_error"] = type(e).__name__
+        try:
+            extra["screen_distinct_bases_per_s"] = round(_bench_screen_distinct())
+        except Exception as e:  # pragma: no cover
+            extra["screen_distinct_error"] = type(e).__name__
+        try:
             e2e_rate, parse_frac = _bench_e2e_cli()
             extra["e2e_cli_bases_per_s"] = round(e2e_rate)
             extra["e2e_host_parse_frac"] = round(parse_frac, 3)
@@ -351,6 +359,80 @@ def _bench_kmer(Nseq: int = 1 << 22, k: int = 21):
     r_bk = _slope_rate(make_bk, Nseq, 4, 16)
     r_fused = _slope_rate(make_fused, Nseq, 4, 16)
     return r_fused, r_hash, r_bk
+
+
+def _bench_reads_mode(Nseq: int = 1 << 22, k: int = 21):
+    """Reads-mode chunk kernel (collect-all contract backing `-r -m 2`
+    sketches): every sub-threshold survivor + exact counts, no pool
+    download.  Slope-timed like the other kernel metrics."""
+    import jax
+    import jax.numpy as jnp
+
+    from fpmash_tpu.ops.kmers import classic_sketch_device
+
+    rng = np.random.default_rng(11)
+    lut = np.frombuffer(b"ACGT", dtype=np.uint8)
+    half = lut[rng.integers(0, 4, size=Nseq // 2)]
+    seq = jnp.asarray(np.concatenate([half, half]))  # coverage-2 pool
+    half2 = lut[rng.integers(0, 4, size=Nseq // 2)]
+    seq2 = jnp.asarray(np.concatenate([half2, half2]))
+    length = jnp.int32(Nseq)
+
+    def make(iters):
+        @jax.jit
+        def bench(seq, seq2):
+            t = jnp.uint8(0)
+            acc = jnp.uint64(0)
+            for _ in range(iters):
+                sv = jnp.where(t > 0, seq2, seq)
+                vals, counts, n, ok = classic_sketch_device(
+                    sv, length, k=k, s=1000, seed=42, out_slots=16000
+                )
+                t = (vals[0] & jnp.uint64(1)).astype(jnp.uint8)
+                acc = acc + vals.sum() + counts.sum().astype(jnp.uint64)
+            return acc
+
+        return bench, (seq, seq2)
+
+    return _slope_rate(make, Nseq, 4, 16)
+
+
+def _bench_screen_distinct(Nseq: int = 1 << 22, k: int = 21):
+    """screen's device distinct-count route: hash -> planes sort ->
+    run-length -> compacted distinct prefix, on a coverage-8 pool."""
+    import jax
+    import jax.numpy as jnp
+
+    from fpmash_tpu.models.sketch import _distinct_counts_run
+
+    rng = np.random.default_rng(12)
+    lut = np.frombuffer(b"ACGT", dtype=np.uint8)
+    piece = lut[rng.integers(0, 4, size=Nseq // 8)]
+    b1 = jnp.asarray(np.tile(piece, 8))
+    piece2 = lut[rng.integers(0, 4, size=Nseq // 8)]
+    b2 = jnp.asarray(np.tile(piece2, 8))
+    kw = dict(
+        k=k, noncanonical=False, preserve_case=False, seed=42, use64=True,
+        cap=Nseq // 4,
+    )
+
+    def make(iters):
+        @jax.jit
+        def bench(b1, b2):
+            t = jnp.uint32(0)
+            acc = jnp.int64(0)
+            for _ in range(iters):
+                bv = jnp.where(t > 0, b2, b1)
+                vlo, vhi, counts, nd, ok = _distinct_counts_run(
+                    bv, jnp.int32(bv.shape[0]), **kw
+                )
+                t = vlo[0] & jnp.uint32(1)
+                acc = acc + nd
+            return acc
+
+        return bench, (b1, b2)
+
+    return _slope_rate(make, Nseq, 2, 8)
 
 
 def _bench_e2e_cli(n_reads: int = 256, read_len: int = 2000):

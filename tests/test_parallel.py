@@ -100,6 +100,52 @@ def test_graft_entry_and_dryrun():
 
 
 @pytest.mark.slow
+def test_sharded_step_collective_counts_d_independent():
+    """Structural scaling proxy (VERDICT r4 #7): the wall-clock floor test
+    below cannot distinguish 'slow because shared cores' from 'slow
+    because a collective serialized'.  This asserts the properties a
+    virtual mesh CAN check exactly: (a) the compiled pipeline step
+    contains a D-INDEPENDENT number of collectives (a regression that
+    unrolls a collective into per-device loops changes the count), and
+    (b) re-executing the warm step triggers zero recompiles."""
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+
+    from fpmash_tpu.parallel.mesh import default_mesh
+    from fpmash_tpu.parallel.sharded import pipeline_step
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    rng = np.random.default_rng(0)
+    lut = np.frombuffer(b"ACGT", np.uint8)
+    B, L, S = 16, 40, 8
+    w = jnp.asarray(lut[rng.integers(0, 4, (B, L))])
+    lens = jnp.full((B,), L, jnp.int32)
+    # ref rows shard over dp in the step's final tile: divisible by 8
+    ref = jnp.asarray(
+        np.sort(rng.integers(1, 1 << 40, (8, S), dtype=np.uint64), axis=1)
+    )
+    rl = jnp.full((8,), S, jnp.int32)
+
+    counts = {}
+    for D in (2, 4, 8):
+        f = jax.jit(partial(pipeline_step, default_mesh(D), sketch_size=S))
+        txt = f.lower(w, lens, ref, rl).compile().as_text()
+        counts[D] = {
+            op: txt.count(op)
+            for op in ("all-gather", "all-reduce", "collective-permute", "all-to-all")
+        }
+        jax.block_until_ready(f(w, lens, ref, rl))
+        size_before = f._cache_size()
+        jax.block_until_ready(f(w, lens, ref, rl))
+        assert f._cache_size() == size_before, f"warm step recompiled at D={D}"
+    assert counts[2] == counts[4] == counts[8], counts
+    assert sum(counts[8].values()) > 0, "no collectives found in the step"
+
+
+@pytest.mark.slow
 def test_virtual_mesh_total_throughput_floor():
     """Scaling proxy (SCALING.md): on an 8-virtual-device CPU mesh the
     per-device efficiency is ~1/D by construction (shared cores), but
