@@ -139,18 +139,30 @@ _COMPACT_ROUNDS = ((64, 8), (64, 16))
 
 def _compact_supported(N: int, s: int, boost: int, min_cov: int,
                        need_counts: bool) -> bool:
+    """Whether the XLA group-extraction compaction is VALID for these
+    parameters (correctness gate for the explicit ``compact=True``
+    override).
+
+    It is never the default: on chip it measured SLOWER than the row
+    sort in both orientations and at both scales (exp_bk_r5: lane-dim
+    0.48 vs 0.94 G at 4M; 0.67 vs 0.92 G at 16M) — every XLA-side
+    compaction re-streams the pool through HBM.  The production answer is
+    the IN-KERNEL top-8 compaction in the hash kernel
+    (ops/kmers_pallas.kmer_hashes_packed_topk_planes), which feeds this
+    module N/16-volume planes; the path below stays available (tested,
+    measured) as an explicit override.
+
+    Overflow margins for validity: survivor density is d = 8*s*boost/N
+    per lane, so round 1 sees Poisson(64*d) distinct survivors per group
+    and round 2 Poisson(512*d).  N >= 2048*s*boost bounds those at
+    0.25 / 2.0 (per-group overflow ~1e-9 / ~1e-10); the exact overflow
+    check catches the exceptions and the caller falls back.
+    """
     vol = 1
     for g, t in _COMPACT_ROUNDS:
         if N % (vol * g):
             return False
         vol *= g // t
-    # Overflow margins: survivor density is d = 8*s*boost/N per lane, so
-    # round 1 sees Poisson(64*d) distinct survivors per group and round 2
-    # Poisson(512*d).  N >= 2048*s*boost bounds those at 0.25 / 2.0,
-    # giving per-group overflow probabilities ~1e-9 / ~1e-10 — the exact
-    # overflow check catches the (astronomically rare, or non-uniform /
-    # low-entropy) exceptions and the caller falls back.  boost >= 4
-    # retries and smaller pools take the row-sort path.
     return (
         not need_counts
         and min_cov == 1
@@ -306,11 +318,9 @@ def bottom_k_threshold_planes(
     )
     pad = (lo == U32MAX) & (hi == U32MAX)
     mask = valid & (hi <= t_hi) & ~pad
-    if (
-        _compact_supported(N, s, boost, min_cov, need_counts)
-        if compact is None
-        else compact
-    ):
+    # not a default: row sort beat the XLA compaction on chip (see
+    # _compact_supported); explicit compact=True still validity-gated
+    if bool(compact) and _compact_supported(N, s, boost, min_cov, need_counts):
         # counts-free fast path: group-extraction compaction instead of
         # the full-pool row sort (the round-4 classic-path limiter)
         all_taken = _staged_sum_i64(mask) >= n_valid
@@ -425,10 +435,10 @@ def bottom_k_premasked_planes(
     """
     U32MAX = jnp.uint32(0xFFFFFFFF)
     N = lo.shape[0]
-    if not collect_all and (
-        _compact_supported(N, s, boost, min_cov, need_counts)
-        if compact is None
-        else compact
+    if (
+        not collect_all
+        and bool(compact)
+        and _compact_supported(N, s, boost, min_cov, need_counts)
     ):
         return _bottom_k_compact_tail(lo, hi, all_taken, s=s, boost=boost)
     pad = (lo == U32MAX) & (hi == U32MAX)
@@ -540,7 +550,10 @@ def distinct_counts_planes(
     return vlo, vhi, counts, n_distinct, ok
 
 
-@partial(jax.jit, static_argnames=("s", "min_cov", "boost", "need_counts"))
+@partial(
+    jax.jit,
+    static_argnames=("s", "min_cov", "boost", "need_counts", "compact"),
+)
 def bottom_k_threshold(
     hashes: jax.Array,
     valid: jax.Array,
@@ -549,6 +562,7 @@ def bottom_k_threshold(
     min_cov: int = 1,
     boost: int = 1,
     need_counts: bool = True,
+    compact: bool | None = None,
 ):
     """Threshold-filtered bottom-s: u64 entry point.
 
@@ -567,7 +581,7 @@ def bottom_k_threshold(
     hi = (x >> jnp.uint64(32)).astype(jnp.uint32)
     return bottom_k_threshold_planes(
         lo, hi, jnp.asarray(valid), s=s, min_cov=min_cov, boost=boost,
-        need_counts=need_counts,
+        need_counts=need_counts, compact=compact,
     )
 
 

@@ -322,7 +322,7 @@ def encode_seq(seq: str | bytes) -> np.ndarray:
 
 @partial(
     jax.jit,
-    static_argnames=("k", "s", "noncanonical", "preserve_case", "seed", "min_cov", "boost", "need_counts", "bk_compact", "out_slots"),
+    static_argnames=("k", "s", "noncanonical", "preserve_case", "seed", "min_cov", "boost", "need_counts", "bk_compact", "out_slots", "use_topk"),
 )
 def classic_sketch_device(
     seq: jax.Array,  # u8[N]
@@ -338,6 +338,7 @@ def classic_sketch_device(
     need_counts: bool | None = None,
     bk_compact: bool | None = None,
     out_slots: int | None = None,
+    use_topk: bool | None = None,
 ):
     """Fused classic sketch: sequence bytes -> bottom-s MinHash, one jit.
 
@@ -393,6 +394,36 @@ def classic_sketch_device(
         t_hi = jnp.uint32(
             0xFFFFFFFF if sat else min(0xFFFFFFFF, int(frac_f * float(2**32)))
         )
+        if (
+            (use_topk if use_topk is not None else True)
+            and out_slots is None
+            and min_cov == 1
+            and not sat
+            # survivor density 8*s*boost/N <= 1/256 keeps the per-group
+            # (128 elems) survivor count Poisson(<=0.5): overflow is
+            # then ~1e-9/group instead of routine at small N
+            and N >= 2048 * s * boost
+        ):
+            # round-5 production route: the topk kernel compacts the
+            # survivors to N/16 IN the hash kernel (sublane sort-8 + lane
+            # fold merges in vregs — every XLA-side compaction
+            # re-streamed the pool and lost to the row sort, exp_bk_r5),
+            # with duplicates preserved (counts stay exact) and an exact
+            # per-group overflow flag (> 8 survivors per 128-element
+            # group: pathological repeats or a saturated threshold; the
+            # boost ladder / pool path take over via ok=False)
+            from fpmash_tpu.ops.kmers_pallas import (
+                kmer_hashes_packed_topk_planes,
+            )
+
+            clo, chi, overflow = kmer_hashes_packed_topk_planes(
+                code, t_hi, length, k=k, noncanonical=noncanonical, seed=seed
+            )
+            v, c, nv, ok = bottom_k_premasked_planes(
+                clo, chi, jnp.bool_(sat), s=s, min_cov=1,
+                need_counts=need_counts, boost=boost, compact=bk_compact,
+            )
+            return v, c, nv, ok & ~overflow
         mlo, mhi = kmer_hashes_packed_masked_planes(
             code, t_hi, length, k=k, noncanonical=noncanonical, seed=seed
         )

@@ -587,6 +587,223 @@ def _packed_slab_masked_kernel(k: int, noncanonical: bool, seed: int,
     out_ref[1 * G : 2 * G, :] = jnp.where(keep, h1h, U)
 
 
+# Batcher odd-even mergesort network for 8 (19 compare-exchanges) and the
+# bitonic cleanup for a bitonic 8-sequence (12 CEs, distances 4/2/1)
+_NET8 = (
+    (0, 1), (2, 3), (4, 5), (6, 7),
+    (0, 2), (1, 3), (4, 6), (5, 7),
+    (1, 2), (5, 6),
+    (0, 4), (1, 5), (2, 6), (3, 7),
+    (2, 4), (3, 5),
+    (1, 2), (3, 4), (5, 6),
+)
+_BITONIC8 = (
+    (0, 4), (1, 5), (2, 6), (3, 7),
+    (0, 2), (1, 3), (4, 6), (5, 7),
+    (0, 1), (2, 3), (4, 5), (6, 7),
+)
+
+#: lanes of the compacted per-tile output (the minimum tile-aligned lane
+#: width); each output column aggregates 8 sublanes x RB/W_TOPK lanes
+W_TOPK = 128
+
+
+def _ce_pair(a, b):
+    """Lexicographic (hi, lo) compare-exchange of two (lo, hi) slices."""
+    swap = (b[1] < a[1]) | ((b[1] == a[1]) & (b[0] < a[0]))
+    mn = (jnp.where(swap, b[0], a[0]), jnp.where(swap, b[1], a[1]))
+    mx = (jnp.where(swap, a[0], b[0]), jnp.where(swap, a[1], b[1]))
+    return mn, mx
+
+
+def _packed_slab_topk_kernel(k: int, noncanonical: bool, seed: int,
+                             t_ref, len_ref, bea_ref, beb_ref, lea_ref,
+                             leb_ref, wv_ref, out_ref):
+    """Threshold-fused hash kernel WITH in-kernel top-8 compaction.
+
+    Round-5 successor of :func:`_packed_slab_masked_kernel`: every XLA
+    reformulation of the bottom-k compaction re-streams the pool through
+    HBM and measured at or below the row sort (exp_bk_r5), so the
+    selection moves INTO the hash kernel where the values are already in
+    vregs.  Per [G, RB] tile: mask (invalid / past-end / above-threshold
+    -> U32MAX pads), sort the 8 sublane values of every lane column with
+    a Batcher-8 network, then fold lanes by halving (bitonic keep-8
+    merges) down to W_TOPK columns — each output column holds the 8
+    smallest survivors of its 8 x RB/W_TOPK element group, plus an
+    overflow row flagging any group that dropped a real value (the exact
+    fallback signal).  Output volume is RB/(2*W_TOPK) of the input with
+    ~100 extra VPU ops/element and zero extra HBM traffic.
+    """
+    G = GROUPS
+    bea, beb = bea_ref[:], beb_ref[:]
+    s_hi = 2 * (32 - k)
+    s_lo = 2 * k - 32
+    if k == 32:
+        fhi, flo = bea, beb
+    else:
+        fhi = bea >> _u32(s_hi)
+        flo = (bea << _u32(s_lo)) | (beb >> _u32(s_hi))
+    if noncanonical:
+        rlo = rhi = flo
+    else:
+        lea, leb = lea_ref[:], leb_ref[:]
+        rlo = lea
+        rhi = leb if k == 32 else leb & _u32((1 << s_lo) - 1)
+    h1l, h1h = _canonical_murmur_body(k, noncanonical, seed, flo, fhi, rlo, rhi)
+
+    t_hi = t_ref[0]
+    length = len_ref[0]
+    RB = bea.shape[1]
+    base = pl.program_id(0) * jnp.int32(G)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (G, RB), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (G, RB), 1)
+    pos = (base + sub) * jnp.int32(RB) + lane
+    keep = (
+        (wv_ref[:] != _u32(0))
+        & (pos <= length - jnp.int32(k))
+        & (h1h <= t_hi)
+    )
+    U = _u32(0xFFFFFFFF)
+    lo = jnp.where(keep, h1l, U)
+    hi = jnp.where(keep, h1h, U)
+
+    # per-lane-column sort of the 8 sublane values (pure elementwise row
+    # ops — no cross-lane traffic)
+    vals = [(lo[i : i + 1, :], hi[i : i + 1, :]) for i in range(G)]
+    for i, j in _NET8:
+        mn, mx = _ce_pair(vals[i], vals[j])
+        vals[i], vals[j] = mn, mx
+
+    one_i32 = jnp.ones((1, RB), jnp.int32)
+    zero_i32 = jnp.zeros((1, RB), jnp.int32)
+    ovf = zero_i32
+    width = RB
+    while width > W_TOPK:
+        h = width // 2
+        a = [(v[0][:, :h], v[1][:, :h]) for v in vals]
+        b = [(v[0][:, h:width], v[1][:, h:width]) for v in vals]
+        ovf = ovf[:, :h] | ovf[:, h:width]
+        dropped = zero_i32[:, :h]
+        z = []
+        for i in range(G):
+            mn, mx = _ce_pair(a[i], b[G - 1 - i])
+            z.append(mn)
+            real = ~((mx[0] == U) & (mx[1] == U))
+            dropped = dropped | jnp.where(
+                real, one_i32[:, :h], zero_i32[:, :h]
+            )
+        for i, j in _BITONIC8:
+            mn, mx = _ce_pair(z[i], z[j])
+            z[i], z[j] = mn, mx
+        vals = z
+        ovf = ovf | dropped
+        width = h
+
+    W = W_TOPK
+    for i in range(G):
+        out_ref[i : i + 1, :] = vals[i][0][:, :W]
+        out_ref[G + i : G + i + 1, :] = vals[i][1][:, :W]
+    out_ref[2 * G : 2 * G + 1, :] = ovf[:, :W].astype(jnp.uint32)
+    # rows 2G+1 .. 3G-1 are don't-care; fill deterministically
+    for i in range(2 * G + 1, 3 * G):
+        out_ref[i : i + 1, :] = jnp.full((1, W), U)
+
+
+@partial(jax.jit, static_argnames=("k", "noncanonical", "seed", "interpret"))
+def kmer_hashes_packed_topk_planes(
+    codes: jax.Array,  # u32[N] 2-bit codes, 4 = invalid character
+    t_hi: jax.Array,  # u32 scalar bottom-k threshold (hi plane)
+    length: jax.Array,  # i32 scalar valid sequence length
+    *,
+    k: int,
+    noncanonical: bool = False,
+    seed: int = 42,
+    interpret: bool = False,
+):
+    """(clo u32[N/16], chi u32[N/16], overflow bool) — the in-kernel
+    compacted survivor planes: every threshold survivor appears among the
+    outputs unless ``overflow`` (some 128-element group held > 8
+    survivors — caller falls back).  Value-duplicates within a group are
+    PRESERVED (the networks keep copies), so counts-consuming callers may
+    use this too as long as overflow is honored.  16 < k <= 32."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    if not (16 < k <= 32):
+        raise ValueError("packed topk variant requires 16 < k <= 32")
+    N = codes.shape[0]
+    G = GROUPS
+    RB = ROW_BLOCK
+    per = G * RB
+    Np = -(-N // per) * per
+    C = Np // per
+    pad = Np + 48
+    flat = jnp.full((pad,), jnp.uint32(4)).at[:N].set(codes.astype(jnp.uint32))
+    v = (flat < _u32(4)).astype(jnp.uint32)
+    cc = flat & _u32(3)
+    g = cc ^ _u32(3)
+    be, le, vv = cc, g, v
+    m = 1
+    while m < 16:
+        be = (be << _u32(2 * m)) | jnp.concatenate(
+            [be[m:], jnp.zeros((m,), jnp.uint32)]
+        )
+        le = le | (
+            jnp.concatenate([le[m:], jnp.zeros((m,), jnp.uint32)]) << _u32(2 * m)
+        )
+        vv = vv & jnp.concatenate([vv[m:], jnp.ones((m,), jnp.uint32)])
+        m *= 2
+    wv = vv
+    rem = k - 16
+    vlev = {1: v}
+    x = v
+    m = 1
+    while m < 16:
+        x = x & jnp.concatenate([x[m:], jnp.ones((m,), jnp.uint32)])
+        m *= 2
+        vlev[m] = x
+    off = 16
+    while rem > 0:
+        b = 1 << (rem.bit_length() - 1)
+        tap = vlev[b]
+        wv = wv & jnp.concatenate([tap[off:], jnp.ones((off,), jnp.uint32)])
+        off += b
+        rem -= b
+
+    def slabs(x):
+        return x[:Np].reshape(C * G, RB)
+
+    beb = jnp.concatenate([be[16:], jnp.zeros((16,), jnp.uint32)])
+    leb = jnp.concatenate([le[16:], jnp.zeros((16,), jnp.uint32)])
+    t_arr = jnp.reshape(t_hi.astype(jnp.uint32), (1,))
+    len_arr = jnp.reshape(length.astype(jnp.int32), (1,))
+
+    W = W_TOPK
+    Z = np.int32(0)
+    call = pl.pallas_call(
+        partial(_packed_slab_topk_kernel, k, noncanonical, seed),
+        grid=(C,),
+        out_shape=jax.ShapeDtypeStruct((C * 3 * G, W), jnp.uint32),
+        in_specs=[
+            pl.BlockSpec((1,), lambda i: (Z,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1,), lambda i: (Z,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((G, RB), lambda i: (i, Z)),
+            pl.BlockSpec((G, RB), lambda i: (i, Z)),
+            pl.BlockSpec((G, RB), lambda i: (i, Z)),
+            pl.BlockSpec((G, RB), lambda i: (i, Z)),
+            pl.BlockSpec((G, RB), lambda i: (i, Z)),
+        ],
+        out_specs=pl.BlockSpec((3 * G, W), lambda i: (i, Z)),
+        interpret=interpret,
+    )
+    out = call(
+        t_arr, len_arr, slabs(be), slabs(beb), slabs(le), slabs(leb), slabs(wv)
+    ).reshape(C, 3 * G, W)
+    clo = out[:, :G, :].reshape(C * G * W)
+    chi = out[:, G : 2 * G, :].reshape(C * G * W)
+    overflow = jnp.any(out[:, 2 * G, :] != 0)
+    return clo, chi, overflow
+
+
 @partial(jax.jit, static_argnames=("k", "noncanonical", "seed", "interpret"))
 def kmer_hashes_packed_masked_planes(
     codes: jax.Array,  # u32[N] 2-bit codes, 4 = invalid character

@@ -258,7 +258,8 @@ def main() -> int:
         t0 = time.perf_counter()
         vals, counts, nv, ok = jax.device_get(
             bottom_k_threshold(
-                jnp.asarray(pool), jnp.ones(N, bool), s=s, need_counts=False
+                jnp.asarray(pool), jnp.ones(N, bool), s=s, need_counts=False,
+                compact=True,
             )
         )
         wv, _ = bottom_k_host(pool, s)

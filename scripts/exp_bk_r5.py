@@ -114,7 +114,26 @@ def main() -> int:
         seq2 = jnp.asarray(lut[rng.integers(0, 4, size=N)])
         length = jnp.int32(N)
 
-        def make_classic(compact, iters):
+        # on-chip parity gate before trusting any topk perf number: the
+        # sort networks are new Mosaic surface (s=16 so the 2048*s gate
+        # admits the topk route at this small shape)
+        Ns = 1 << 16
+        seqs = jnp.asarray(lut[rng.integers(0, 4, size=Ns)])
+        a = jax.device_get(
+            classic_sketch_device(
+                seqs, jnp.int32(Ns), k=21, s=16, seed=42, use_topk=True
+            )
+        )
+        b = jax.device_get(
+            classic_sketch_device(
+                seqs, jnp.int32(Ns), k=21, s=16, seed=42, use_topk=False
+            )
+        )
+        assert bool(a[3]) and bool(b[3]), (a[3], b[3])
+        assert np.array_equal(a[0], b[0]) and int(a[2]) == int(b[2])
+        print("  topk parity on chip: OK", flush=True)
+
+        def make_classic(topk, iters):
             @jax.jit
             def bench(seq, seq2):
                 t = jnp.uint8(0)
@@ -122,7 +141,7 @@ def main() -> int:
                 for _ in range(iters):
                     sv = jnp.where(t > 0, seq2, seq)
                     vals, counts, n, ok = classic_sketch_device(
-                        sv, length, k=21, s=1000, seed=42, bk_compact=compact
+                        sv, length, k=21, s=1000, seed=42, use_topk=topk
                     )
                     t = (vals[0] & jnp.uint64(1)).astype(jnp.uint8)
                     acc = acc + vals.sum()
@@ -130,8 +149,8 @@ def main() -> int:
 
             return bench, (seq, seq2)
 
-        for name, compact in (("row", False), ("cmp", True)):
-            variants[name] = {i: make_classic(compact, i) for i in (I1, I2)}
+        for name, topk in (("masked", False), ("topk", True)):
+            variants[name] = {i: make_classic(topk, i) for i in (I1, I2)}
 
     # compile everything first
     for name, by_iter in variants.items():

@@ -105,7 +105,79 @@ def test_classic_sketch_device_matches_split_path():
         kp.kmer_hashes_packed_masked_planes = orig
 
 
-def test_packed_planes_matches_slab(monkeypatch):
+def test_packed_topk_kernel_compaction():
+    """In-kernel top-8 compaction: every threshold survivor (incl. its
+    duplicates) appears in the compacted planes unless overflow flags,
+    and the composed classic_sketch_device route == the masked-kernel
+    route bit for bit."""
+    import jax.numpy as jnp
+
+    import fpmash_tpu.ops.kmers_pallas as kp
+    from fpmash_tpu.ops.bottomk import bottom_k_premasked_planes
+    from fpmash_tpu.ops.kmers import classic_sketch_device
+
+    rng = np.random.default_rng(17)
+    N, k, s = 1 << 16, 21, 16  # N >= 2048*s so the topk route engages
+    codes = rng.integers(0, 4, size=N).astype(np.uint32)
+    codes[: N // 2] = codes[N // 2 :]  # duplicated half: counts matter
+    codes[5000:5010] = 4  # invalid characters
+    frac = 8.0 * s / (N - (k - 1))
+    t_hi = np.uint32(int(frac * 2**32))
+
+    clo, chi, ovf = kp.kmer_hashes_packed_topk_planes(
+        jnp.asarray(codes), jnp.uint32(t_hi), jnp.int32(N), k=k, seed=42,
+        interpret=True,
+    )
+    assert not bool(ovf)
+    mlo, mhi = kp.kmer_hashes_packed_masked_planes(
+        jnp.asarray(codes), jnp.uint32(t_hi), jnp.int32(N), k=k, seed=42,
+        interpret=True,
+    )
+    U = np.uint64(0xFFFFFFFF)
+    want = np.asarray(mlo, np.uint64) | (np.asarray(mhi, np.uint64) << 32)
+    want = np.sort(want[want != (U | (U << np.uint64(32)))])
+    got = np.asarray(clo, np.uint64) | (np.asarray(chi, np.uint64) << 32)
+    got = np.sort(got[got != (U | (U << np.uint64(32)))])
+    assert np.array_equal(got, want)  # full multiset incl. duplicates
+
+    # composed route parity (values + exact counts) vs the masked route;
+    # classic_sketch_device takes BYTES, not codes — build the sequence
+    lut = np.frombuffer(b"ACGTN", np.uint8)
+    seq = lut[np.minimum(codes, 4)]
+    orig_topk = kp.kmer_hashes_packed_topk_planes
+    orig_masked = kp.kmer_hashes_packed_masked_planes
+    kp.kmer_hashes_packed_topk_planes = lambda *a, **kw: orig_topk(
+        *a, **{**kw, "interpret": True}
+    )
+    kp.kmer_hashes_packed_masked_planes = lambda *a, **kw: orig_masked(
+        *a, **{**kw, "interpret": True}
+    )
+    try:
+        for need_counts in (False, True):
+            v1, c1, n1, ok1 = classic_sketch_device(
+                jnp.asarray(seq), jnp.int32(N), k=k, s=s, seed=42,
+                need_counts=need_counts,
+            )
+            v0, c0, n0, ok0 = bottom_k_premasked_planes(
+                mlo, mhi, jnp.bool_(False), s=s, min_cov=1,
+                need_counts=need_counts,
+            )
+            assert bool(ok1) and bool(ok0)
+            assert int(n1) == int(n0)
+            assert np.array_equal(np.asarray(v1), np.asarray(v0))
+            assert np.array_equal(np.asarray(c1), np.asarray(c0))
+    finally:
+        kp.kmer_hashes_packed_topk_planes = orig_topk
+        kp.kmer_hashes_packed_masked_planes = orig_masked
+
+    # pathological repeats: one k-mer everywhere, saturated threshold ->
+    # groups drop real copies and the overflow flag MUST trip
+    mono = np.zeros(N, np.uint32)
+    _, _, ovf2 = kp.kmer_hashes_packed_topk_planes(
+        jnp.asarray(mono), jnp.uint32(0xFFFFFFFF), jnp.int32(N), k=k,
+        seed=42, interpret=True,
+    )
+    assert bool(ovf2)
     """Packed-plane kmer kernel == slab kernel (h1 planes + validity),
     incl. non-ACGT bytes and the N-boundary tail, at several k."""
     import jax.numpy as jnp

@@ -251,7 +251,7 @@ def test_bottom_k_compact_path_matches_host():
     pool = np.concatenate([base, base[:6000]])
     rng.shuffle(pool)
     v, c, n, ok = bottom_k_threshold(
-        jnp.asarray(pool), jnp.ones(N, bool), s=s, need_counts=False
+        jnp.asarray(pool), jnp.ones(N, bool), s=s, need_counts=False, compact=True
     )
     assert bool(ok)
     wv, _ = bottom_k_host(pool, s, 1)
@@ -262,7 +262,7 @@ def test_bottom_k_compact_path_matches_host():
     # partial validity mask
     valid = rng.random(N) < 0.7
     v, c, n, ok = bottom_k_threshold(
-        jnp.asarray(pool), jnp.asarray(valid), s=s, need_counts=False
+        jnp.asarray(pool), jnp.asarray(valid), s=s, need_counts=False, compact=True
     )
     assert bool(ok)
     wv, _ = bottom_k_host(pool[valid], s, 1)
@@ -274,7 +274,7 @@ def test_bottom_k_compact_path_matches_host():
     pool2 = rng.integers(1 << 40, 1 << 63, size=N, dtype=np.uint64)
     pool2[:16] = np.arange(1, 17, dtype=np.uint64)  # 16 tiny values, group 0
     v, c, n, ok = bottom_k_threshold(
-        jnp.asarray(pool2), jnp.ones(N, bool), s=s, need_counts=False
+        jnp.asarray(pool2), jnp.ones(N, bool), s=s, need_counts=False, compact=True
     )
     if bool(ok):  # only acceptable if nothing was dropped
         wv, _ = bottom_k_host(pool2, s, 1)
@@ -289,7 +289,7 @@ def test_bottom_k_compact_path_matches_host():
     pool3 = np.repeat(small_vals, N // 64)
     rng.shuffle(pool3)
     v, c, n, ok = bottom_k_threshold(
-        jnp.asarray(pool3), jnp.ones(N, bool), s=s, need_counts=False
+        jnp.asarray(pool3), jnp.ones(N, bool), s=s, need_counts=False, compact=True
     )
     wv, _ = bottom_k_host(pool3, s, 1)
     if bool(ok):
@@ -303,6 +303,6 @@ def test_bottom_k_compact_path_matches_host():
     # overflow, saturation completes
     pool4 = np.full(N, 12345, np.uint64)
     v, c, n, ok = bottom_k_threshold(
-        jnp.asarray(pool4), jnp.ones(N, bool), s=s, need_counts=False
+        jnp.asarray(pool4), jnp.ones(N, bool), s=s, need_counts=False, compact=True
     )
     assert bool(ok) and int(n) == 1 and int(np.asarray(v)[0]) == 12345
