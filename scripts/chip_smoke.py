@@ -340,6 +340,38 @@ def main() -> int:
 
     guard("classic-fused", _classic_fused_case)
 
+    def _classic_reads_case():
+        # reads-mode collect-all contract (out_slots): every sub-threshold
+        # survivor + exact counts, asserted against the scalar pool
+        from fpmash_tpu.ops.kmers import classic_sketch_device
+        from fpmash_tpu.models.sketch import _kmer_hash_pool_scalar, SketchParams
+
+        seq = _words(rng, 1, 20000, pure=True)[0]
+        seq[3000:6000] = seq[:3000]  # duplicated region: counts matter
+        t0 = time.perf_counter()
+        vals, counts, nv, ok = jax.device_get(
+            classic_sketch_device(
+                jnp.asarray(seq), jnp.int32(20000), k=21, s=16, seed=42,
+                out_slots=2048,
+            )
+        )
+        assert bool(ok)
+        nv = int(nv)
+        p = SketchParams(kmer_size=21, sketch_size=16)
+        pool = _kmer_hash_pool_scalar([seq.tobytes().decode()], p)
+        uv, uc = np.unique(pool, return_counts=True)
+        # the kernel's threshold uses the UNPADDED input length
+        # (classic_sketch_device: N = seq.shape[0])
+        frac = min(1.0, 8.0 * 16 / (20000 - 20))
+        t_hi = min(0xFFFFFFFF, int(frac * 2**32))
+        keep = (uv >> np.uint64(32)) <= t_hi
+        want_v, want_c = uv[keep], uc[keep]
+        got = [int(v) * 131 + int(c) for v, c in zip(vals[:nv], counts[:nv])]
+        want = [int(v) * 131 + int(c) for v, c in zip(want_v, want_c)]
+        check(f"classic-reads-collectall ({time.perf_counter()-t0:.0f}s)", got, want)
+
+    guard("classic-reads-collectall", _classic_reads_case)
+
     S = 128
     ref = np.stack([np.unique(rng.integers(1, 1 << 30, size=S * 2, dtype=np.uint64))[:S] for _ in range(8)])
     qry = np.stack([np.unique(rng.integers(1, 1 << 30, size=S * 2, dtype=np.uint64))[:S] for _ in range(8)])
