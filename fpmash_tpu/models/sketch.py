@@ -1048,30 +1048,36 @@ def _direct_reads_sketch(blob, starts, size, step, n, p: SketchParams):
     devices = jax.devices()[: visible_device_count()]
     starts = [pos for pos in starts if min(pos + size, n) - pos >= k]
 
+    bufs_d: list[tuple] = []
+
     def dispatch_all(boost, slots):
-        wave = []
-        for ci, pos in enumerate(starts):
-            end = min(pos + size, n)
-            buf = np.zeros(size, np.uint8)
-            buf[: end - pos] = np.frombuffer(blob[pos:end], np.uint8)
-            length = (end - pos) if end == n else (step + k - 1)
-            dev = devices[ci % len(devices)]
-            buf_d = jax.device_put(buf, dev)
-            len_d = jax.device_put(np.int32(length), dev)
-            wave.append(
-                classic_sketch_device(
-                    buf_d,
-                    len_d,
-                    k=k,
-                    s=s,
-                    noncanonical=p.noncanonical,
-                    preserve_case=p.preserve_case,
-                    seed=p.seed,
-                    boost=boost,
-                    out_slots=slots,
+        if not bufs_d:  # upload once; boost retries reuse device buffers
+            for ci, pos in enumerate(starts):
+                end = min(pos + size, n)
+                buf = np.zeros(size, np.uint8)
+                buf[: end - pos] = np.frombuffer(blob[pos:end], np.uint8)
+                length = (end - pos) if end == n else (step + k - 1)
+                dev = devices[ci % len(devices)]
+                bufs_d.append(
+                    (
+                        jax.device_put(buf, dev),
+                        jax.device_put(np.int32(length), dev),
+                    )
                 )
+        return [
+            classic_sketch_device(
+                buf_d,
+                len_d,
+                k=k,
+                s=s,
+                noncanonical=p.noncanonical,
+                preserve_case=p.preserve_case,
+                seed=p.seed,
+                boost=boost,
+                out_slots=slots,
             )
-        return wave
+            for buf_d, len_d in bufs_d
+        ]
 
     try:
         for boost in (1, 4, 16):
