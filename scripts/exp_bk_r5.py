@@ -160,7 +160,15 @@ def main() -> int:
             print(f"  compile {name}/{i}: {time.perf_counter()-t0:.1f}s", flush=True)
 
     # interleaved timed reps; a single relay fault (INVALID_ARGUMENT
-    # flake, hit 2026-08-21 on the classic A/B) must not kill the run
+    # flake, hit 2026-08-21 on the classic A/B) must not kill the run —
+    # and a fault can poison the input device buffers (every subsequent
+    # call then raises ValueError), so keep host copies and re-upload
+    # after any error
+    host_args = {
+        (name, i): tuple(np.asarray(a) for a in by_iter[i][1])
+        for name, by_iter in variants.items()
+        for i in by_iter
+    }
     REPS = 4
     best = {(name, i): float("inf") for name in variants for i in (I1, I2)}
     for _ in range(REPS):
@@ -173,8 +181,21 @@ def main() -> int:
                         best[(name, i)], time.perf_counter() - t0
                     )
                 except Exception as e:
-                    print(f"  rep error {name}/{i}: {type(e).__name__}",
-                          flush=True)
+                    print(
+                        f"  rep error {name}/{i}: {type(e).__name__}: "
+                        f"{str(e)[:160]}",
+                        flush=True,
+                    )
+                    # inputs are shared across variants: refresh them ALL
+                    for n2, bi2 in variants.items():
+                        for i2 in bi2:
+                            bi2[i2] = (
+                                bi2[i2][0],
+                                tuple(
+                                    jnp.asarray(a)
+                                    for a in host_args[(n2, i2)]
+                                ),
+                            )
 
     for name in variants:
         t1, t2 = best[(name, I1)], best[(name, I2)]
