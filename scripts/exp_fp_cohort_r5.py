@@ -15,7 +15,7 @@ bounded by total substeps, not per-tile maxima.  If sorted wins
 materially, production integration (host proxy sort + output unpermute)
 is justified.
 
-Usage: python scripts/exp_fp_cohort_r5.py [B] [I1] [I2]
+Usage: python scripts/exp_fp_cohort_r5.py [B] [I1] [I2] [modes-csv]
 """
 
 from __future__ import annotations
@@ -33,6 +33,11 @@ def main() -> int:
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 1 << 19
     I1 = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     I2 = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    modes = (
+        sys.argv[4].split(",")
+        if len(sys.argv) > 4
+        else ["random", "sorted", "uniform", "shifts"]
+    )
     L = 100
 
     import jax
@@ -45,23 +50,46 @@ def main() -> int:
     rand_w = lut[rng.integers(0, 4, size=(B, L))]
     rand_w2 = lut[rng.integers(0, 4, size=(B, L))]
 
-    t0 = time.perf_counter()
-    datasets = {"random": (rand_w, rand_w2)}
-    srt = []
-    for arr in (rand_w, rand_w2):
-        steps = np.array([duval_steps(r) for r in arr])
-        order = np.argsort(steps, kind="stable")
-        srt.append(arr[order])
-    print(
-        f"step sim: {time.perf_counter()-t0:.0f}s "
-        f"min={steps.min()} med={int(np.median(steps))} max={steps.max()}",
-        flush=True,
-    )
-    datasets["sorted"] = tuple(srt)
-    datasets["uniform"] = (
-        np.repeat(rand_w[:1], B, axis=0),
-        np.repeat(rand_w2[:1], B, axis=0),
-    )
+    datasets = {}
+    if "random" in modes:
+        datasets["random"] = (rand_w, rand_w2)
+    if "sorted" in modes:
+        t0 = time.perf_counter()
+        srt = []
+        for arr in (rand_w, rand_w2):
+            steps = np.array([duval_steps(r) for r in arr])
+            order = np.argsort(steps, kind="stable")
+            srt.append(arr[order])
+        print(
+            f"step sim: {time.perf_counter()-t0:.0f}s "
+            f"min={steps.min()} med={int(np.median(steps))} max={steps.max()}",
+            flush=True,
+        )
+        datasets["sorted"] = tuple(srt)
+    if "uniform" in modes:
+        datasets["uniform"] = (
+            np.repeat(rand_w[:1], B, axis=0),
+            np.repeat(rand_w2[:1], B, axis=0),
+        )
+    # production-like: windows are the L cyclic shifts of B/L random
+    # reads, consecutive in the batch (the CLI's shift_windows layout) —
+    # step counts of adjacent windows correlate, so tiles may already be
+    # closer to 'sorted' than 'random' without any reordering
+    def shifts(seed):
+        r2 = np.random.default_rng(seed)
+        nreads = -(-B // L)
+        reads = lut[r2.integers(0, 4, size=(nreads, L))]
+        dbl = np.concatenate([reads, reads[:, : L - 1]], axis=1)
+        wins = np.stack(
+            [
+                np.lib.stride_tricks.sliding_window_view(row, L)[:L]
+                for row in dbl
+            ]
+        )
+        return wins.reshape(nreads * L, L)[:B]
+
+    if "shifts" in modes:
+        datasets["shifts"] = (shifts(101), shifts(102))
     l = jnp.asarray(np.full((B,), L, np.int32))
     print(f"B={B} backend={jax.default_backend()}", flush=True)
 
@@ -86,7 +114,7 @@ def main() -> int:
     # compile once per chain length (same executable for every dataset)
     for i, (fn, l_) in benches.items():
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*dev["random"], l_))
+        jax.block_until_ready(fn(*next(iter(dev.values())), l_))
         print(f"  compile i={i}: {time.perf_counter()-t0:.1f}s", flush=True)
 
     best = {(name, i): float("inf") for name in datasets for i in (I1, I2)}
