@@ -152,6 +152,44 @@ def main() -> int:
         for name, topk in (("masked", False), ("topk", True)):
             variants[name] = {i: make_classic(topk, i) for i in (I1, I2)}
 
+    if which == "classic":
+        # SEQUENTIAL per-executable timing (bench.py's proven pattern):
+        # interleaving 4+ pallas-bearing executables faults
+        # deterministically on the first RE-execution through the relay
+        # ("INVALID_ARGUMENT: TPU backend error" — 3/3 runs, queue1-3
+        # 2026-08-21); two interleaved pallas executables (the cohort
+        # A/B) are fine, as is compile-then-reps per executable.
+        best = {}
+        for name, by_iter in variants.items():
+            for i, (fn, args) in by_iter.items():
+                t0 = time.perf_counter()
+                jax.block_until_ready(fn(*args))
+                print(f"  compile {name}/{i}: {time.perf_counter()-t0:.1f}s",
+                      flush=True)
+                b = float("inf")
+                for _ in range(4):
+                    try:
+                        t0 = time.perf_counter()
+                        jax.device_get(fn(*args))
+                        b = min(b, time.perf_counter() - t0)
+                    except Exception as e:
+                        print(f"  rep error {name}/{i}: "
+                              f"{type(e).__name__}: {str(e)[:120]}",
+                              flush=True)
+                best[(name, i)] = b
+        for name in variants:
+            t1, t2 = best[(name, I1)], best[(name, I2)]
+            if t1 == float("inf") or t2 == float("inf"):
+                print(f"{name}: NO DATA", flush=True)
+                continue
+            rate = N * (I2 - I1) / max(t2 - t1, 1e-9)
+            print(
+                f"{name}: t({I1})={t1*1e3:.1f}ms t({I2})={t2*1e3:.1f}ms "
+                f"slope={rate/1e9:.3f} G/s",
+                flush=True,
+            )
+        return 0
+
     # compile everything first
     for name, by_iter in variants.items():
         for i, (fn, args) in by_iter.items():
