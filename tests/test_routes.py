@@ -317,6 +317,39 @@ def test_classic_direct_route_multichunk(monkeypatch):
     assert np.array_equal(gc2.astype(np.uint32), wc)
 
 
+def test_classic_topk_route_selected(monkeypatch):
+    """Above the 2048*s density gate the classic device sketch must trace
+    through the in-kernel top-8 compaction kernel (a Mosaic regression
+    silently demoting it to the masked kernel would cost ~3x)."""
+    import jax.numpy as jnp
+
+    from fpmash_tpu.ops import kmers_pallas as kp
+    from fpmash_tpu.ops.kmers import classic_sketch_device
+
+    calls = []
+    orig = kp.kmer_hashes_packed_topk_planes
+    monkeypatch.setattr(
+        kp,
+        "kmer_hashes_packed_topk_planes",
+        lambda *a, **kw: calls.append(1) or orig(*a, **{**kw, "interpret": True}),
+    )
+    orig_m = kp.kmer_hashes_packed_masked_planes
+    monkeypatch.setattr(
+        kp,
+        "kmer_hashes_packed_masked_planes",
+        lambda *a, **kw: orig_m(*a, **{**kw, "interpret": True}),
+    )
+    rng = np.random.default_rng(3)
+    lut = np.frombuffer(b"ACGT", np.uint8)
+    seq = jnp.asarray(lut[rng.integers(0, 4, size=1 << 16)])
+    classic_sketch_device(seq, jnp.int32(1 << 16), k=21, s=16, seed=43)
+    assert calls, "topk kernel not selected above the density gate"
+    # below the gate (s too large for N): masked route, no topk call
+    calls.clear()
+    classic_sketch_device(seq, jnp.int32(1 << 16), k=21, s=512, seed=43)
+    assert not calls, "topk kernel selected below the density gate"
+
+
 def test_direct_reads_mode_route_multichunk(monkeypatch):
     """min_cov=2 reads-mode direct route (collect-all chunks + merged
     counts + post-merge filter) == the exact pool path, including values
