@@ -413,7 +413,6 @@ def _bench_screen_distinct(Nseq: int = 1 << 22, k: int = 21):
     b2 = jnp.asarray(np.tile(piece2, 8))
     kw = dict(
         k=k, noncanonical=False, preserve_case=False, seed=42, use64=True,
-        cap=Nseq // 4,
     )
 
     def make(iters):
@@ -423,7 +422,7 @@ def _bench_screen_distinct(Nseq: int = 1 << 22, k: int = 21):
             acc = jnp.int64(0)
             for _ in range(iters):
                 bv = jnp.where(t > 0, b2, b1)
-                vlo, vhi, counts, nd, ok = _distinct_counts_run(
+                vlo, vhi, counts, nd = _distinct_counts_run(
                     bv, jnp.int32(bv.shape[0]), **kw
                 )
                 t = vlo[0] & jnp.uint32(1)

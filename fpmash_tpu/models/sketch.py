@@ -1292,33 +1292,27 @@ def _kmer_distinct_counts_device(seqs: list[str], p: SketchParams):
     buf = np.zeros(N, np.uint8)
     buf[:n] = np.frombuffer(blob, np.uint8)
 
-    # distinct <= N/4 holds for the deep-coverage mixtures screen targets;
-    # low-coverage pools overflow the cap and retry at full width
-    for cap in (max(4096, N // 4), N):
-        vlo, vhi, counts, n_distinct, ok = _distinct_counts_run(
-            jnp.asarray(buf),
-            jnp.int32(n),
-            k=k,
-            noncanonical=p.noncanonical,
-            preserve_case=p.preserve_case,
-            seed=p.seed,
-            use64=p.use64,
-            cap=cap,
-        )
-        if bool(ok):
-            nd = int(n_distinct)
-            # only the distinct prefix leaves the device
-            vlo_h = np.asarray(vlo[:nd], np.uint64)
-            vhi_h = np.asarray(vhi[:nd], np.uint64)
-            return (vhi_h << np.uint64(32)) | vlo_h, np.asarray(counts[:nd])
-    raise RuntimeError("distinct-count cap overflow")  # pragma: no cover
+    vlo, vhi, counts, n_distinct = _distinct_counts_run(
+        jnp.asarray(buf),
+        jnp.int32(n),
+        k=k,
+        noncanonical=p.noncanonical,
+        preserve_case=p.preserve_case,
+        seed=p.seed,
+        use64=p.use64,
+    )
+    nd = int(n_distinct)
+    # only the distinct prefix leaves the device
+    vlo_h = np.asarray(vlo[:nd], np.uint64)
+    vhi_h = np.asarray(vhi[:nd], np.uint64)
+    return (vhi_h << np.uint64(32)) | vlo_h, np.asarray(counts[:nd])
 
 
 _distinct_counts_jit = None
 
 
 def _distinct_counts_run(
-    seq_u8, length, *, k, noncanonical, preserve_case, seed, use64, cap
+    seq_u8, length, *, k, noncanonical, preserve_case, seed, use64
 ):
     """Jitted hash -> sort -> run-length distinct counter (built once;
     the jit cache then keys on the static args and shapes)."""
@@ -1333,11 +1327,11 @@ def _distinct_counts_run(
         @partial(
             jax.jit,
             static_argnames=(
-                "k", "noncanonical", "preserve_case", "seed", "use64", "cap"
+                "k", "noncanonical", "preserve_case", "seed", "use64"
             ),
         )
         def run(
-            seq_u8, length, *, k, noncanonical, preserve_case, seed, use64, cap
+            seq_u8, length, *, k, noncanonical, preserve_case, seed, use64
         ):
             N = seq_u8.shape[0]
             sequ = seq_u8
@@ -1356,12 +1350,12 @@ def _distinct_counts_run(
                 # 32-bit parameters: hashes are the low plane only, so
                 # distinctness must collapse the hi plane
                 h1h = jnp.zeros_like(h1h)
-            return distinct_counts_planes(h1l, h1h, valid, cap=cap)
+            return distinct_counts_planes(h1l, h1h, valid)
 
         _distinct_counts_jit = run
     return _distinct_counts_jit(
         seq_u8, length, k=k, noncanonical=noncanonical,
-        preserve_case=preserve_case, seed=seed, use64=use64, cap=cap,
+        preserve_case=preserve_case, seed=seed, use64=use64,
     )
 
 

@@ -28,8 +28,9 @@ import numpy as np
 _U64MAX = jnp.uint64(0xFFFFFFFFFFFFFFFF)
 
 
-def _sort_planes_flat(hi, lo):
-    """Full ascending sort of a flat (hi, lo) u32-pair array.
+def _sort_planes_flat(hi, lo, payload=None):
+    """Full ascending sort of a flat (hi, lo) u32-pair array, optionally
+    carrying a u32 ``payload`` plane through the permutation.
 
     Sorts [R, 1024] rows batched and merges pairs of sorted rows with a
     bitonic MERGE network (ascending ++ descending reshaped min/max —
@@ -42,19 +43,30 @@ def _sort_planes_flat(hi, lo):
     n = hi.shape[0]
     C0 = 1024
     if n <= C0 or n % C0:
-        return jax.lax.sort((hi, lo), num_keys=2)
+        if payload is None:
+            return jax.lax.sort((hi, lo), num_keys=2)
+        return jax.lax.sort((hi, lo, payload), num_keys=2)
     R = n // C0
     h2 = hi.reshape(R, C0)
     l2 = lo.reshape(R, C0)
-    h2, l2 = jax.lax.sort((h2, l2), dimension=1, num_keys=2)
+    if payload is None:
+        p2 = None
+        h2, l2 = jax.lax.sort((h2, l2), dimension=1, num_keys=2)
+    else:
+        p2 = payload.reshape(R, C0)
+        h2, l2, p2 = jax.lax.sort((h2, l2, p2), dimension=1, num_keys=2)
     while h2.shape[0] > 1:
         if h2.shape[0] % 2:
             pad_h = jnp.full((1, h2.shape[1]), jnp.uint32(0xFFFFFFFF))
             h2 = jnp.concatenate([h2, pad_h])
             l2 = jnp.concatenate([l2, pad_h])
+            if p2 is not None:
+                p2 = jnp.concatenate([p2, jnp.zeros_like(pad_h)])
         L = h2.shape[1]
         h2 = jnp.concatenate([h2[0::2], h2[1::2][:, ::-1]], axis=1)
         l2 = jnp.concatenate([l2[0::2], l2[1::2][:, ::-1]], axis=1)
+        if p2 is not None:
+            p2 = jnp.concatenate([p2[0::2], p2[1::2][:, ::-1]], axis=1)
         n2 = 2 * L
         d = L
         while d >= 1:
@@ -69,8 +81,17 @@ def _sort_planes_flat(hi, lo):
             l2 = jnp.stack(
                 [jnp.where(swap, bl, al), jnp.where(swap, al, bl)], axis=2
             ).reshape(-1, n2)
+            if p2 is not None:
+                py = p2.reshape(-1, n2 // (2 * d), 2, d)
+                ap, bp = py[:, :, 0, :], py[:, :, 1, :]
+                p2 = jnp.stack(
+                    [jnp.where(swap, bp, ap), jnp.where(swap, ap, bp)],
+                    axis=2,
+                ).reshape(-1, n2)
             d //= 2
-    return h2.reshape(-1)[:n], l2.reshape(-1)[:n]
+    if p2 is None:
+        return h2.reshape(-1)[:n], l2.reshape(-1)[:n]
+    return h2.reshape(-1)[:n], l2.reshape(-1)[:n], p2.reshape(-1)[:n]
 
 
 def _staged_sum_i64(x) -> jax.Array:
@@ -197,21 +218,79 @@ def _bottom_k_compact_tail(lo, hi, all_taken, *, s: int, boost: int):
     eligible = is_boundary & ~((chi == U32MAX) & (clo == U32MAX))
     n_eligible = jnp.sum(eligible.astype(jnp.int32))
 
-    out_idx = jnp.nonzero(eligible, size=s, fill_value=cap)[0]
-    opad = out_idx >= cap
-    out_idx = jnp.minimum(out_idx, cap - 1)
-    vals64 = (chi[out_idx].astype(jnp.uint64) << jnp.uint64(32)) | clo[
-        out_idx
-    ].astype(jnp.uint64)
-    values = jnp.where(opad, _U64MAX, vals64)
-    counts = jnp.where(opad, jnp.uint32(0), jnp.uint32(1))
-    n = jnp.sum(~opad).astype(jnp.uint32)
+    values, counts, n = _select_first_s(chi, clo, eligible, None, s)
     ok = (
         ~overflow
         & (n_nonpad <= cap)
         & ((n_eligible >= s) | all_taken)
     )
     return values, counts, n, ok
+
+
+def _run_counts_sorted(is_boundary, is_start, cap: int):
+    """Run lengths at run starts of a SORTED candidate array, via
+    log-step suffix-min of the boundary indices — ``lax.cummin`` over
+    the same array ran near-serial on chip (~120 ns/element; it held
+    the screen distinct-count kernel at 8 Mbases/s and dominated the
+    reads-mode collect-all tail)."""
+    idx_arr = jnp.arange(cap, dtype=jnp.int32)
+    # nxt[i] = smallest boundary index > i (cap when none)
+    x = jnp.concatenate(
+        [jnp.where(is_boundary, idx_arr, cap)[1:],
+         jnp.full((1,), cap, jnp.int32)]
+    )
+    d = 1
+    while d < cap:
+        x = jnp.minimum(
+            x, jnp.concatenate([x[d:], jnp.full((d,), cap, jnp.int32)])
+        )
+        d *= 2
+    return jnp.where(is_start, x - idx_arr, 0).astype(jnp.uint32)
+
+
+def _select_first_s(chi, clo, eligible, run_count, s: int):
+    """First-s selection over SORTED candidate planes WITHOUT
+    ``jnp.nonzero``: its cumsum + bincount-scatter lowering costs
+    ~22 ns/element on this chip (the exp_bk_r5 ``nz`` variant ran at
+    0.011 G end to end), while padding out the non-eligible lanes and
+    re-sorting costs one more ~2 ns/element batched sort — the eligible
+    candidates, already ascending, then form the prefix.
+
+    Returns ``(values u64[s], counts u32[s], n u32)`` with the usual
+    U64MAX/0 padding; ``run_count=None`` 1-fills the counts.
+    """
+    U32MAX = jnp.uint32(0xFFFFFFFF)
+    cap = chi.shape[0]
+    sel_hi = jnp.where(eligible, chi, U32MAX)
+    sel_lo = jnp.where(eligible, clo, U32MAX)
+    sel_cnt = None
+    if run_count is not None:
+        sel_hi, sel_lo, sel_cnt = _sort_planes_flat(
+            sel_hi, sel_lo, jnp.where(eligible, run_count, jnp.uint32(0))
+        )
+    else:
+        sel_hi, sel_lo = _sort_planes_flat(sel_hi, sel_lo)
+    if cap < s:
+        pad_n = s - cap
+        sel_hi = jnp.concatenate([sel_hi, jnp.full((pad_n,), U32MAX)])
+        sel_lo = jnp.concatenate([sel_lo, jnp.full((pad_n,), U32MAX)])
+        if sel_cnt is not None:
+            sel_cnt = jnp.concatenate(
+                [sel_cnt, jnp.zeros((pad_n,), jnp.uint32)]
+            )
+    shs, sls = sel_hi[:s], sel_lo[:s]
+    opad = (shs == U32MAX) & (sls == U32MAX)
+    vals64 = (shs.astype(jnp.uint64) << jnp.uint64(32)) | sls.astype(
+        jnp.uint64
+    )
+    values = jnp.where(opad, _U64MAX, vals64)
+    counts = jnp.where(
+        opad,
+        jnp.uint32(0),
+        sel_cnt[:s] if sel_cnt is not None else jnp.uint32(1),
+    )
+    n = jnp.sum(~opad).astype(jnp.uint32)
+    return values, counts, n
 
 
 def _row_sort(yhi, ylo):
@@ -362,11 +441,7 @@ def bottom_k_threshold_planes(
     is_boundary = jnp.concatenate([jnp.array([True]), neq])
     is_start = is_boundary & ~((chi == U32MAX) & (clo == U32MAX))
     if need_counts or min_cov > 1:
-        idx_arr = jnp.arange(cap, dtype=jnp.int32)
-        boundary_or_inf = jnp.where(is_boundary, idx_arr, cap)
-        nxt = jax.lax.cummin(boundary_or_inf[::-1])[::-1]
-        nxt = jnp.concatenate([nxt[1:], jnp.array([cap], jnp.int32)])
-        run_count = jnp.where(is_start, nxt - idx_arr, 0).astype(jnp.uint32)
+        run_count = _run_counts_sorted(is_boundary, is_start, cap)
         eligible = is_start & (run_count >= min_cov)
     else:
         # default sketching (min_cov=1, multiplicities unused): skip the
@@ -376,20 +451,7 @@ def bottom_k_threshold_planes(
         eligible = is_start
     n_eligible = jnp.sum(eligible.astype(jnp.int32))
 
-    out_idx = jnp.nonzero(eligible, size=s, fill_value=cap)[0]
-    opad = out_idx >= cap
-    out_idx = jnp.minimum(out_idx, cap - 1)
-    # u64 only here, on s slots
-    vals64 = (chi[out_idx].astype(jnp.uint64) << jnp.uint64(32)) | clo[
-        out_idx
-    ].astype(jnp.uint64)
-    values = jnp.where(opad, _U64MAX, vals64)
-    counts = jnp.where(
-        opad,
-        jnp.uint32(0),
-        run_count[out_idx] if run_count is not None else jnp.uint32(1),
-    )
-    n = jnp.sum(~opad).astype(jnp.uint32)
+    values, counts, n = _select_first_s(chi, clo, eligible, run_count, s)
 
     all_taken = m >= n_valid  # threshold saturated: candidates = whole pool
     ok = compaction_ok & ((n_eligible >= s) | all_taken)
@@ -400,6 +462,7 @@ def bottom_k_threshold_planes(
     jax.jit,
     static_argnames=(
         "s", "min_cov", "need_counts", "boost", "compact", "collect_all",
+        "expected_s",
     ),
 )
 def bottom_k_premasked_planes(
@@ -413,6 +476,7 @@ def bottom_k_premasked_planes(
     boost: int = 1,
     compact: bool | None = None,
     collect_all: bool = False,
+    expected_s: int | None = None,
 ):
     """Threshold bottom-k over planes the producer already masked (the
     threshold-fused hash kernel writes U32MAX to every lane that is
@@ -451,7 +515,13 @@ def bottom_k_premasked_planes(
     else:
         cols = 1
     C = N // cols
-    P = min(cols, max(16, -(-32 * s // max(C, 1))))
+    # per-row candidate capacity: sized from the THRESHOLD's expected
+    # survivor count (expected_s, collect-all mode: the slot count s is
+    # the capacity, not the density — sizing P from it ballooned the
+    # candidate cap 16x and pushed the nonzero selection onto its slow
+    # scatter path, 70 Mbases/s in BENCH r5 preview)
+    ps = expected_s if expected_s is not None else s
+    P = min(cols, max(16, -(-32 * ps // max(C, 1))))
     ylo = lo.reshape(C, cols)
     yhi = hi.reshape(C, cols)
     yhi, ylo = _row_sort(yhi, ylo)
@@ -469,30 +539,14 @@ def bottom_k_premasked_planes(
     is_boundary = jnp.concatenate([jnp.array([True]), neq])
     is_start = is_boundary & ~((chi == U32MAX) & (clo == U32MAX))
     if need_counts or min_cov > 1:
-        idx_arr = jnp.arange(cap, dtype=jnp.int32)
-        boundary_or_inf = jnp.where(is_boundary, idx_arr, cap)
-        nxt = jax.lax.cummin(boundary_or_inf[::-1])[::-1]
-        nxt = jnp.concatenate([nxt[1:], jnp.array([cap], jnp.int32)])
-        run_count = jnp.where(is_start, nxt - idx_arr, 0).astype(jnp.uint32)
+        run_count = _run_counts_sorted(is_boundary, is_start, cap)
         eligible = is_start & (run_count >= min_cov)
     else:
         run_count = None
         eligible = is_start
     n_eligible = jnp.sum(eligible.astype(jnp.int32))
 
-    out_idx = jnp.nonzero(eligible, size=s, fill_value=cap)[0]
-    opad = out_idx >= cap
-    out_idx = jnp.minimum(out_idx, cap - 1)
-    vals64 = (chi[out_idx].astype(jnp.uint64) << jnp.uint64(32)) | clo[
-        out_idx
-    ].astype(jnp.uint64)
-    values = jnp.where(opad, _U64MAX, vals64)
-    counts = jnp.where(
-        opad,
-        jnp.uint32(0),
-        run_count[out_idx] if run_count is not None else jnp.uint32(1),
-    )
-    n = jnp.sum(~opad).astype(jnp.uint32)
+    values, counts, n = _select_first_s(chi, clo, eligible, run_count, s)
     if collect_all:
         ok = compaction_ok & (n_eligible <= s)
     else:
@@ -500,29 +554,29 @@ def bottom_k_premasked_planes(
     return values, counts, n, ok
 
 
-@partial(jax.jit, static_argnames=("cap",))
+@jax.jit
 def distinct_counts_planes(
     lo: jax.Array,  # u32[N] low hash words
     hi: jax.Array,  # u32[N] high hash words
     valid: jax.Array,  # bool[N]
-    *,
-    cap: int,
 ):
     """ALL distinct hash values + multiplicities of a pool, on device.
 
     Backs `screen`'s query-side counting (CommandScreen.cpp:81-151): the
     reference hashes every query k-mer into a host hash table; the
     round-4 rebuild downloaded the full 8 B/base pool and ran np.unique
-    on the host.  Here the pool is sorted as u32 planes (batched row
-    sorts + bitonic merge), run-length encoded, and compacted to at most
-    ``cap`` distinct values — only the distinct prefix ever leaves the
-    device.
+    on the host.  The pool is sorted as u32 planes (batched row sorts +
+    bitonic merge), run-length encoded, duplicates padded out, and
+    SORTED AGAIN with the counts as payload so the distinct values form
+    an ascending prefix — only that prefix ever leaves the device.
+    (A ``jnp.nonzero``-based compaction was tried first: its bincount
+    scatter measured ~100x slower than the second sort — 7.6 Mbases/s
+    end to end at 4M.)
 
-    Returns ``(vlo u32[cap], vhi u32[cap], counts u32[cap], n_distinct
-    i64, ok bool)`` with values ascending; ``ok=False`` means the pool
-    held more than ``cap`` distinct values (caller falls back to the
-    full download).  The u64 recombine is left to the caller's host side
-    (u64-wide device ops are ~100x off HBM speed here).
+    Returns ``(vlo u32[N], vhi u32[N], counts u32[N], n_distinct i64)``
+    with values ascending in the first ``n_distinct`` slots; slots past
+    it hold U32MAX/0.  The u64 recombine is left to the caller's host
+    side (u64-wide device ops are ~100x off HBM speed here).
     """
     U32MAX = jnp.uint32(0xFFFFFFFF)
     N = lo.shape[0]
@@ -533,21 +587,27 @@ def distinct_counts_planes(
     is_boundary = jnp.concatenate([jnp.array([True]), neq])
     is_start = is_boundary & ~((shi == U32MAX) & (slo == U32MAX))
     n_distinct = _staged_sum_i64(is_start)
+    n_valid = _staged_sum_i64(valid).astype(jnp.int32)
 
+    # counts WITHOUT a full-pool run-length pass (lax.cummin over N ran
+    # near-serial on chip — it alone held this kernel at ~8 Mbases/s):
+    # carry each run-start's POOL POSITION through the dedup sort; the
+    # compacted prefix is position-ascending, so each count is just the
+    # difference of consecutive start positions (the last run ends at
+    # n_valid — every valid lane sorts before the first pad).
     idx_arr = jnp.arange(N, dtype=jnp.int32)
-    boundary_or_inf = jnp.where(is_boundary, idx_arr, N)
-    nxt = jax.lax.cummin(boundary_or_inf[::-1])[::-1]
-    nxt = jnp.concatenate([nxt[1:], jnp.array([N], jnp.int32)])
-    run_count = jnp.where(is_start, nxt - idx_arr, 0).astype(jnp.uint32)
-
-    out_idx = jnp.nonzero(is_start, size=cap, fill_value=N)[0]
-    opad = out_idx >= N
-    out_idx = jnp.minimum(out_idx, N - 1)
-    vlo = jnp.where(opad, U32MAX, slo[out_idx])
-    vhi = jnp.where(opad, U32MAX, shi[out_idx])
-    counts = jnp.where(opad, jnp.uint32(0), run_count[out_idx])
-    ok = n_distinct <= cap
-    return vlo, vhi, counts, n_distinct, ok
+    vhi, vlo, pos = _sort_planes_flat(
+        jnp.where(is_start, shi, U32MAX),
+        jnp.where(is_start, slo, U32MAX),
+        jnp.where(is_start, idx_arr, 0).astype(jnp.uint32),
+    )
+    pos = pos.astype(jnp.int32)
+    nxt_pos = jnp.concatenate([pos[1:], jnp.zeros((1,), jnp.int32)])
+    j = idx_arr  # output slot index
+    last = j + 1 >= n_distinct
+    counts = jnp.where(last, n_valid - pos, nxt_pos - pos)
+    counts = jnp.where(j < n_distinct, counts, 0).astype(jnp.uint32)
+    return vlo, vhi, counts, n_distinct
 
 
 @partial(

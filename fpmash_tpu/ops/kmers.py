@@ -435,6 +435,7 @@ def classic_sketch_device(
             return bottom_k_premasked_planes(
                 mlo, mhi, jnp.bool_(sat), s=out_slots, min_cov=1,
                 need_counts=True, boost=boost, collect_all=True,
+                expected_s=s * boost,
             )
         return bottom_k_premasked_planes(
             mlo, mhi, jnp.bool_(sat), s=s, min_cov=min_cov,

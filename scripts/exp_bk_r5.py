@@ -33,6 +33,57 @@ def main() -> int:
     print(f"which={which} N={N} backend={jax.default_backend()}", flush=True)
     rng = np.random.default_rng(2)
 
+    if which.startswith("classic_one:"):
+        # ONE variant, TWO executables, bench.py's exact proven pattern —
+        # any third executable embedding the same pallas kernel makes its
+        # re-execution fault through the relay (queue1/3/5, 2026-08-21)
+        from fpmash_tpu.ops.kmers import classic_sketch_device
+
+        topk = which.split(":", 1)[1] == "topk"
+        lut = np.frombuffer(b"ACGT", dtype=np.uint8)
+        seq = jnp.asarray(lut[rng.integers(0, 4, size=N)])
+        seq2 = jnp.asarray(lut[rng.integers(0, 4, size=N)])
+        length = jnp.int32(N)
+
+        def make(iters):
+            @jax.jit
+            def bench(seq, seq2):
+                t = jnp.uint8(0)
+                acc = jnp.uint64(0)
+                for _ in range(iters):
+                    sv = jnp.where(t > 0, seq2, seq)
+                    vals, counts, n, ok = classic_sketch_device(
+                        sv, length, k=21, s=1000, seed=42, use_topk=topk
+                    )
+                    t = (vals[0] & jnp.uint64(1)).astype(jnp.uint8)
+                    acc = acc + vals.sum()
+                return acc
+
+            return bench, (seq, seq2)
+
+        best = {}
+        for i in (I1, I2):
+            fn, args = make(i)
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(*args))
+            print(f"  compile {i}: {time.perf_counter()-t0:.1f}s", flush=True)
+            b = float("inf")
+            for _ in range(4):
+                try:
+                    t0 = time.perf_counter()
+                    jax.device_get(fn(*args))
+                    b = min(b, time.perf_counter() - t0)
+                except Exception as e:
+                    print(f"  rep error {i}: {type(e).__name__}", flush=True)
+            best[i] = b
+        rate = N * (I2 - I1) / max(best[I2] - best[I1], 1e-9)
+        print(
+            f"{which}: t({I1})={best[I1]*1e3:.1f}ms "
+            f"t({I2})={best[I2]*1e3:.1f}ms slope={rate/1e9:.3f} G/s",
+            flush=True,
+        )
+        return 0
+
     variants = {}
     if which == "bk":
         from fpmash_tpu.ops.bottomk import bottom_k_threshold_planes
