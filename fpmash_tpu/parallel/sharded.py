@@ -118,11 +118,13 @@ def _local_bottom_k(hashes, valid, s: int):
     x = jnp.sort(x)
     is_start = jnp.concatenate([jnp.array([True]), x[1:] != x[:-1]])
     is_start = is_start & (x != _U64MAX)
-    N = x.shape[0]
-    idx = jnp.nonzero(is_start, size=s, fill_value=N)[0]
-    pad = idx >= N
-    vals = jnp.where(pad, _U64MAX, x[jnp.minimum(idx, N - 1)])
-    return vals
+    # selection by pad-and-resort, NOT jnp.nonzero (its bincount-scatter
+    # lowering is near-serial on TPU — see ops/bottomk._select_first_s);
+    # the deduped values form the ascending prefix of the second sort
+    x2 = jnp.sort(jnp.where(is_start, x, _U64MAX))
+    if x2.shape[0] < s:  # tiny shards (dry-run shapes) still emit s slots
+        x2 = jnp.concatenate([x2, jnp.full((s - x2.shape[0],), _U64MAX)])
+    return x2[:s]
 
 
 def sharded_bottom_k(mesh: Mesh, hashes, valid, s: int):
