@@ -396,7 +396,6 @@ def classic_sketch_device(
         )
         if (
             (use_topk if use_topk is not None else True)
-            and out_slots is None
             and min_cov == 1
             and not sat
             # survivor density 8*s*boost/N <= 1/256 keeps the per-group
@@ -419,10 +418,22 @@ def classic_sketch_device(
             clo, chi, overflow = kmer_hashes_packed_topk_planes(
                 code, t_hi, length, k=k, noncanonical=noncanonical, seed=seed
             )
-            v, c, nv, ok = bottom_k_premasked_planes(
-                clo, chi, jnp.bool_(sat), s=s, min_cov=1,
-                need_counts=need_counts, boost=boost, compact=bk_compact,
-            )
+            if out_slots is not None:
+                # reads-mode collect-all over the COMPACTED planes: every
+                # survivor (incl. duplicates) is present unless overflow,
+                # so the cross-chunk count merge stays exact — and the
+                # full-pool row sort (the 837 Mbases/s limiter of the
+                # masked collect-all route) disappears
+                v, c, nv, ok = bottom_k_premasked_planes(
+                    clo, chi, jnp.bool_(sat), s=out_slots, min_cov=1,
+                    need_counts=True, boost=boost, collect_all=True,
+                    expected_s=s * boost,
+                )
+            else:
+                v, c, nv, ok = bottom_k_premasked_planes(
+                    clo, chi, jnp.bool_(sat), s=s, min_cov=1,
+                    need_counts=need_counts, boost=boost, compact=bk_compact,
+                )
             return v, c, nv, ok & ~overflow
         mlo, mhi = kmer_hashes_packed_masked_planes(
             code, t_hi, length, k=k, noncanonical=noncanonical, seed=seed
