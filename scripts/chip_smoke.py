@@ -372,6 +372,38 @@ def main() -> int:
 
     guard("classic-reads-collectall", _classic_reads_case)
 
+    def _classic_reads_topk_case():
+        # reads collect-all THROUGH the topk kernel (N >= 2048*s engages
+        # the in-kernel compaction; duplicates must survive with exact
+        # counts)
+        from fpmash_tpu.ops.kmers import classic_sketch_device
+        from fpmash_tpu.models.sketch import _kmer_hash_pool_scalar, SketchParams
+
+        Nr = 1 << 16
+        seq = _words(rng, 1, Nr, pure=True)[0]
+        seq[8000:16000] = seq[:8000]  # duplicated region
+        t0 = time.perf_counter()
+        vals, counts, nv, ok = jax.device_get(
+            classic_sketch_device(
+                jnp.asarray(seq), jnp.int32(Nr), k=21, s=16, seed=42,
+                out_slots=2048,
+            )
+        )
+        assert bool(ok)
+        nv = int(nv)
+        p = SketchParams(kmer_size=21, sketch_size=16)
+        pool = _kmer_hash_pool_scalar([seq.tobytes().decode()], p)
+        uv, uc = np.unique(pool, return_counts=True)
+        frac = min(1.0, 8.0 * 16 / (Nr - 20))
+        t_hi = min(0xFFFFFFFF, int(frac * 2**32))
+        keep = (uv >> np.uint64(32)) <= t_hi
+        want_v, want_c = uv[keep], uc[keep]
+        got = [int(v) * 131 + int(c) for v, c in zip(vals[:nv], counts[:nv])]
+        want = [int(v) * 131 + int(c) for v, c in zip(want_v, want_c)]
+        check(f"classic-reads-topk ({time.perf_counter()-t0:.0f}s)", got, want)
+
+    guard("classic-reads-topk", _classic_reads_topk_case)
+
     S = 128
     ref = np.stack([np.unique(rng.integers(1, 1 << 30, size=S * 2, dtype=np.uint64))[:S] for _ in range(8)])
     qry = np.stack([np.unique(rng.integers(1, 1 << 30, size=S * 2, dtype=np.uint64))[:S] for _ in range(8)])
