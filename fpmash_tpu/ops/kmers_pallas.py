@@ -709,6 +709,229 @@ def _packed_slab_topk_kernel(k: int, noncanonical: bool, seed: int,
         out_ref[i : i + 1, :] = jnp.full((1, W), U)
 
 
+def _xor_permute(lo, hi, d: int):
+    """(lo, hi)[i] -> value at sublane i ^ d (d a power of two <= 4),
+    via two sublane rotations + an iota select — full-vreg ops instead
+    of [1, RB] slice shuffles."""
+    G = lo.shape[0]
+    up_lo = jnp.roll(lo, -d, axis=0)
+    dn_lo = jnp.roll(lo, d, axis=0)
+    up_hi = jnp.roll(hi, -d, axis=0)
+    dn_hi = jnp.roll(hi, d, axis=0)
+    sub = jax.lax.broadcasted_iota(jnp.int32, lo.shape, 0)
+    take_dn = (sub & jnp.int32(d)) != 0
+    return (
+        jnp.where(take_dn, dn_lo, up_lo),
+        jnp.where(take_dn, dn_hi, up_hi),
+    )
+
+
+def _bitonic_sublane_sort8(lo, hi):
+    """Ascending-by-sublane bitonic sort of the 8 sublane values of every
+    lane column, entirely as [G, RB] full-vreg ops (the slice-based
+    Batcher network uses 1/8 of each vreg).  Standard bitonic network:
+    stage (k, d) compares i with i^d, ascending iff bit k of i is 0."""
+    sub = jax.lax.broadcasted_iota(jnp.int32, lo.shape, 0)
+    for kk in (2, 4, 8):
+        # merge stage kk: ascending iff bit kk of the index is 0 (always
+        # true for the final kk=8 stage -> globally ascending)
+        asc = (sub & jnp.int32(kk)) == 0
+        d = kk // 2
+        while d >= 1:
+            plo, phi = _xor_permute(lo, hi, d)
+            i_low = (sub & jnp.int32(d)) == 0
+            want_min = asc == i_low
+            p_less = (phi < hi) | ((phi == hi) & (plo < lo))
+            keep_partner = jnp.where(want_min, p_less, ~p_less)
+            lo = jnp.where(keep_partner, plo, lo)
+            hi = jnp.where(keep_partner, phi, hi)
+            d //= 2
+    return lo, hi
+
+
+def _sublane_reverse8(lo, hi):
+    """(lo, hi)[i] -> value at sublane 7 - i  (XOR with 7 = composed
+    XOR-permutes at d = 1, 2, 4)."""
+    for d in (1, 2, 4):
+        lo, hi = _xor_permute(lo, hi, d)
+    return lo, hi
+
+
+def _packed_slab_topk8r_kernel(k: int, noncanonical: bool, seed: int,
+                               t_ref, len_ref, bea_ref, beb_ref, lea_ref,
+                               leb_ref, wv_ref, out_ref):
+    """Rotation-variant of :func:`_packed_slab_topk_kernel`: the sort-8
+    and keep-8 networks run on [G, RB] slabs via sublane rotations
+    (tpu.rotate) + iota selects, instead of [1, RB] slices that leave
+    7/8 of every vreg idle.  EXPERIMENTAL — same contract, A/B'd on
+    chip before any routing change."""
+    G = GROUPS
+    bea, beb = bea_ref[:], beb_ref[:]
+    s_hi = 2 * (32 - k)
+    s_lo = 2 * k - 32
+    if k == 32:
+        fhi, flo = bea, beb
+    else:
+        fhi = bea >> _u32(s_hi)
+        flo = (bea << _u32(s_lo)) | (beb >> _u32(s_hi))
+    if noncanonical:
+        rlo = rhi = flo
+    else:
+        lea, leb = lea_ref[:], leb_ref[:]
+        rlo = lea
+        rhi = leb if k == 32 else leb & _u32((1 << s_lo) - 1)
+    h1l, h1h = _canonical_murmur_body(k, noncanonical, seed, flo, fhi, rlo, rhi)
+
+    t_hi = t_ref[0]
+    length = len_ref[0]
+    RB = bea.shape[1]
+    base = pl.program_id(0) * jnp.int32(G)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (G, RB), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (G, RB), 1)
+    pos = (base + sub) * jnp.int32(RB) + lane
+    keep = (
+        (wv_ref[:] != _u32(0))
+        & (pos <= length - jnp.int32(k))
+        & (h1h <= t_hi)
+    )
+    U = _u32(0xFFFFFFFF)
+    lo = jnp.where(keep, h1l, U)
+    hi = jnp.where(keep, h1h, U)
+
+    lo, hi = _bitonic_sublane_sort8(lo, hi)
+
+    ovf = jnp.zeros((1, RB), jnp.int32)
+    width = RB
+    while width > W_TOPK:
+        h = width // 2
+        alo, ahi = lo[:, :h], hi[:, :h]
+        blo, bhi = lo[:, h:width], hi[:, h:width]
+        ovf = ovf[:, :h] | ovf[:, h:width]
+        # bitonic keep-8: z = min(a_i, b_rev_i); dropped = the maxes
+        rlo2, rhi2 = _sublane_reverse8(blo, bhi)
+        b_less = (rhi2 < ahi) | ((rhi2 == ahi) & (rlo2 < alo))
+        zlo = jnp.where(b_less, rlo2, alo)
+        zhi = jnp.where(b_less, rhi2, ahi)
+        mlo2 = jnp.where(b_less, alo, rlo2)
+        mhi2 = jnp.where(b_less, ahi, rhi2)
+        real = ~((mlo2 == U) & (mhi2 == U))
+        real_i32 = jnp.where(
+            real, jnp.ones((G, h), jnp.int32), jnp.zeros((G, h), jnp.int32)
+        )
+        dropped = jnp.max(real_i32, axis=0, keepdims=True)
+        # cleanup: bitonic merge of the bitonic 8-sequence (d = 4, 2, 1,
+        # all ascending)
+        sub8 = jax.lax.broadcasted_iota(jnp.int32, (G, h), 0)
+        for d in (4, 2, 1):
+            plo, phi = _xor_permute(zlo, zhi, d)
+            i_low = (sub8 & jnp.int32(d)) == 0
+            p_less = (phi < zhi) | ((phi == zhi) & (plo < zlo))
+            keep_p = jnp.where(i_low, p_less, ~p_less)
+            zlo = jnp.where(keep_p, plo, zlo)
+            zhi = jnp.where(keep_p, phi, zhi)
+        lo, hi = zlo, zhi
+        ovf = ovf | dropped
+        width = h
+
+    W = W_TOPK
+    out_ref[0:G, :] = lo[:, :W]
+    out_ref[G : 2 * G, :] = hi[:, :W]
+    out_ref[2 * G : 2 * G + 1, :] = ovf[:, :W].astype(jnp.uint32)
+    for i in range(2 * G + 1, 3 * G):
+        out_ref[i : i + 1, :] = jnp.full((1, W), U)
+
+
+@partial(jax.jit, static_argnames=("k", "noncanonical", "seed", "interpret"))
+def kmer_hashes_packed_topk8r_planes(
+    codes: jax.Array,
+    t_hi: jax.Array,
+    length: jax.Array,
+    *,
+    k: int,
+    noncanonical: bool = False,
+    seed: int = 42,
+    interpret: bool = False,
+):
+    """Rotation-variant wrapper — identical contract to
+    :func:`kmer_hashes_packed_topk_planes` (EXPERIMENTAL, un-routed)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    if not (16 < k <= 32):
+        raise ValueError("packed topk variant requires 16 < k <= 32")
+    N = codes.shape[0]
+    G = GROUPS
+    RB = ROW_BLOCK
+    per = G * RB
+    Np = -(-N // per) * per
+    C = Np // per
+    pad = Np + 48
+    flat = jnp.full((pad,), jnp.uint32(4)).at[:N].set(codes.astype(jnp.uint32))
+    v = (flat < _u32(4)).astype(jnp.uint32)
+    cc = flat & _u32(3)
+    g = cc ^ _u32(3)
+    be, le, vv = cc, g, v
+    m = 1
+    while m < 16:
+        be = (be << _u32(2 * m)) | jnp.concatenate(
+            [be[m:], jnp.zeros((m,), jnp.uint32)]
+        )
+        le = le | (
+            jnp.concatenate([le[m:], jnp.zeros((m,), jnp.uint32)]) << _u32(2 * m)
+        )
+        vv = vv & jnp.concatenate([vv[m:], jnp.ones((m,), jnp.uint32)])
+        m *= 2
+    wv = vv
+    rem = k - 16
+    vlev = {1: v}
+    x = v
+    m = 1
+    while m < 16:
+        x = x & jnp.concatenate([x[m:], jnp.ones((m,), jnp.uint32)])
+        m *= 2
+        vlev[m] = x
+    off = 16
+    while rem > 0:
+        b = 1 << (rem.bit_length() - 1)
+        tap = vlev[b]
+        wv = wv & jnp.concatenate([tap[off:], jnp.ones((off,), jnp.uint32)])
+        off += b
+        rem -= b
+
+    def slabs(x):
+        return x[:Np].reshape(C * G, RB)
+
+    beb = jnp.concatenate([be[16:], jnp.zeros((16,), jnp.uint32)])
+    leb = jnp.concatenate([le[16:], jnp.zeros((16,), jnp.uint32)])
+    t_arr = jnp.reshape(t_hi.astype(jnp.uint32), (1,))
+    len_arr = jnp.reshape(length.astype(jnp.int32), (1,))
+
+    W = W_TOPK
+    Z = np.int32(0)
+    call = pl.pallas_call(
+        partial(_packed_slab_topk8r_kernel, k, noncanonical, seed),
+        grid=(C,),
+        out_shape=jax.ShapeDtypeStruct((C * 3 * G, W), jnp.uint32),
+        in_specs=[
+            pl.BlockSpec((1,), lambda i: (Z,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1,), lambda i: (Z,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((G, RB), lambda i: (i, Z)),
+            pl.BlockSpec((G, RB), lambda i: (i, Z)),
+            pl.BlockSpec((G, RB), lambda i: (i, Z)),
+            pl.BlockSpec((G, RB), lambda i: (i, Z)),
+            pl.BlockSpec((G, RB), lambda i: (i, Z)),
+        ],
+        out_specs=pl.BlockSpec((3 * G, W), lambda i: (i, Z)),
+        interpret=interpret,
+    )
+    out = call(
+        t_arr, len_arr, slabs(be), slabs(beb), slabs(le), slabs(leb), slabs(wv)
+    ).reshape(C, 3 * G, W)
+    clo = out[:, :G, :].reshape(C * G * W)
+    chi = out[:, G : 2 * G, :].reshape(C * G * W)
+    overflow = jnp.any(out[:, 2 * G, :] != 0)
+    return clo, chi, overflow
+
+
 @partial(jax.jit, static_argnames=("k", "noncanonical", "seed", "interpret"))
 def kmer_hashes_packed_topk_planes(
     codes: jax.Array,  # u32[N] 2-bit codes, 4 = invalid character

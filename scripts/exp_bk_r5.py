@@ -33,6 +33,62 @@ def main() -> int:
     print(f"which={which} N={N} backend={jax.default_backend()}", flush=True)
     rng = np.random.default_rng(2)
 
+    if which.startswith("topk_kernel:"):
+        # kernel-level A/B: production topk vs the sublane-rotation
+        # variant (one variant per process — pallas relay rule)
+        from fpmash_tpu.ops.kmers_pallas import (
+            kmer_hashes_packed_topk8r_planes,
+            kmer_hashes_packed_topk_planes,
+        )
+
+        fn0 = (
+            kmer_hashes_packed_topk8r_planes
+            if which.split(":", 1)[1] == "rot"
+            else kmer_hashes_packed_topk_planes
+        )
+        codes = jnp.asarray(rng.integers(0, 4, size=N).astype(np.uint32))
+        codes2 = jnp.asarray(rng.integers(0, 4, size=N).astype(np.uint32))
+        frac = min(1.0, 8.0 * 1000 / max(N - 20, 1))
+        t_hi = jnp.uint32(min(0xFFFFFFFF, int(frac * 2**32)))
+        length = jnp.int32(N)
+
+        def make(iters):
+            @jax.jit
+            def bench(codes, codes2):
+                t = jnp.uint32(0)
+                acc = jnp.uint32(0)
+                for _ in range(iters):
+                    cv = jnp.where(t > 0, codes2, codes)
+                    clo, chi, ovf = fn0(cv, t_hi, length, k=21, seed=42)
+                    t = clo[0] & jnp.uint32(1)
+                    acc = acc + jnp.sum(clo, dtype=jnp.uint32)
+                return acc
+
+            return bench, (codes, codes2)
+
+        best = {}
+        for i in (I1, I2):
+            fn, args = make(i)
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(*args))
+            print(f"  compile {i}: {time.perf_counter()-t0:.1f}s", flush=True)
+            b = float("inf")
+            for _ in range(4):
+                try:
+                    t0 = time.perf_counter()
+                    jax.device_get(fn(*args))
+                    b = min(b, time.perf_counter() - t0)
+                except Exception as e:
+                    print(f"  rep error {i}: {type(e).__name__}", flush=True)
+            best[i] = b
+        rate = N * (I2 - I1) / max(best[I2] - best[I1], 1e-9)
+        print(
+            f"{which}: t({I1})={best[I1]*1e3:.1f}ms "
+            f"t({I2})={best[I2]*1e3:.1f}ms slope={rate/1e9:.3f} G/s",
+            flush=True,
+        )
+        return 0
+
     if which.startswith("classic_one:"):
         # ONE variant, TWO executables, bench.py's exact proven pattern —
         # any third executable embedding the same pallas kernel makes its

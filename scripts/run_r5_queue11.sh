@@ -1,0 +1,7 @@
+#!/bin/bash
+# Queue 11: topk vs rotation-topk kernel A/B (one variant per process).
+export PYTHONPATH=/root/repo:/root/.axon_site
+cd /root/repo
+python scripts/exp_bk_r5.py topk_kernel:orig $((1<<22)) 4 16
+python scripts/exp_bk_r5.py topk_kernel:rot $((1<<22)) 4 16
+echo DONE-QUEUE11

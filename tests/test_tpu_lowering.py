@@ -223,6 +223,20 @@ def test_lower_packed_topk_kernel():
     )
 
 
+def test_lower_packed_topk8r_kernel():
+    from fpmash_tpu.ops.kmers_pallas import kmer_hashes_packed_topk8r_planes
+
+    codes = jnp.asarray(
+        np.random.default_rng(0).integers(0, 4, size=1 << 15).astype(np.uint32)
+    )
+    _lower_tpu(
+        lambda c: kmer_hashes_packed_topk8r_planes(
+            c, jnp.uint32(1 << 20), jnp.int32(30000), k=21
+        ),
+        codes,
+    )
+
+
 def test_lower_pallas_row_sort():
     from fpmash_tpu.ops.sort_pallas import row_sort_planes_pallas
 
