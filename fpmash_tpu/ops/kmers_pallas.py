@@ -742,7 +742,9 @@ def _bitonic_sublane_sort8(lo, hi):
             i_low = (sub & jnp.int32(d)) == 0
             want_min = asc == i_low
             p_less = (phi < hi) | ((phi == hi) & (plo < lo))
-            keep_partner = jnp.where(want_min, p_less, ~p_less)
+            # NOT jnp.where on bool operands: Mosaic i1 select_n fails
+            # "Unsupported target bitwidth for truncation" (known trap)
+            keep_partner = want_min == p_less
             lo = jnp.where(keep_partner, plo, lo)
             hi = jnp.where(keep_partner, phi, hi)
             d //= 2
@@ -826,7 +828,7 @@ def _packed_slab_topk8r_kernel(k: int, noncanonical: bool, seed: int,
             plo, phi = _xor_permute(zlo, zhi, d)
             i_low = (sub8 & jnp.int32(d)) == 0
             p_less = (phi < zhi) | ((phi == zhi) & (plo < zlo))
-            keep_p = jnp.where(i_low, p_less, ~p_less)
+            keep_p = i_low == p_less  # no bool-operand select (Mosaic trap)
             zlo = jnp.where(keep_p, plo, zlo)
             zhi = jnp.where(keep_p, phi, zhi)
         lo, hi = zlo, zhi
