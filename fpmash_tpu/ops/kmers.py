@@ -411,11 +411,14 @@ def classic_sketch_device(
             # per-group overflow flag (> 8 survivors per 128-element
             # group: pathological repeats or a saturated threshold; the
             # boost ladder / pool path take over via ok=False)
+            # sublane-rotation variant: the slice-based network left 7/8
+            # of every vreg idle — 4.51 vs 2.51 G/s kernel-only on chip
+            # (exp_bk_r5 topk_kernel A/B), value-parity asserted on chip
             from fpmash_tpu.ops.kmers_pallas import (
-                kmer_hashes_packed_topk_planes,
+                kmer_hashes_packed_topk8r_planes,
             )
 
-            clo, chi, overflow = kmer_hashes_packed_topk_planes(
+            clo, chi, overflow = kmer_hashes_packed_topk8r_planes(
                 code, t_hi, length, k=k, noncanonical=noncanonical, seed=seed
             )
             if out_slots is not None:

@@ -144,9 +144,9 @@ def test_packed_topk_kernel_compaction():
     # classic_sketch_device takes BYTES, not codes — build the sequence
     lut = np.frombuffer(b"ACGTN", np.uint8)
     seq = lut[np.minimum(codes, 4)]
-    orig_topk = kp.kmer_hashes_packed_topk_planes
+    orig_topk = kp.kmer_hashes_packed_topk8r_planes
     orig_masked = kp.kmer_hashes_packed_masked_planes
-    kp.kmer_hashes_packed_topk_planes = lambda *a, **kw: orig_topk(
+    kp.kmer_hashes_packed_topk8r_planes = lambda *a, **kw: orig_topk(
         *a, **{**kw, "interpret": True}
     )
     kp.kmer_hashes_packed_masked_planes = lambda *a, **kw: orig_masked(
@@ -167,7 +167,7 @@ def test_packed_topk_kernel_compaction():
             assert np.array_equal(np.asarray(v1), np.asarray(v0))
             assert np.array_equal(np.asarray(c1), np.asarray(c0))
     finally:
-        kp.kmer_hashes_packed_topk_planes = orig_topk
+        kp.kmer_hashes_packed_topk8r_planes = orig_topk
         kp.kmer_hashes_packed_masked_planes = orig_masked
 
     # pathological repeats: one k-mer everywhere, saturated threshold ->

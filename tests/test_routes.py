@@ -327,10 +327,10 @@ def test_classic_topk_route_selected(monkeypatch):
     from fpmash_tpu.ops.kmers import classic_sketch_device
 
     calls = []
-    orig = kp.kmer_hashes_packed_topk_planes
+    orig = kp.kmer_hashes_packed_topk8r_planes
     monkeypatch.setattr(
         kp,
-        "kmer_hashes_packed_topk_planes",
+        "kmer_hashes_packed_topk8r_planes",
         lambda *a, **kw: calls.append(1) or orig(*a, **{**kw, "interpret": True}),
     )
     orig_m = kp.kmer_hashes_packed_masked_planes
